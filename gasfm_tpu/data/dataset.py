@@ -1,0 +1,136 @@
+"""Dataset of scenes + host-side async prefetch loader.
+
+Parity: reference ``ScenesDataSet`` + trivial list collate
+(code/datasets/ScenesDataSet.py:5-51) and its DataLoader usage with seeded
+workers (code/multiple_scenes_learning.py:48-50, general_utils.py:298-303).
+
+TPU adaptation: instead of torch DataLoader fork workers, a background
+thread pipelines the host-side sampling/augmentation/graph-padding work with
+device compute (the hosts here have few cores; graph building is cheap
+vectorized NumPy). Determinism comes from an explicit np.random.Generator
+per loader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from gasfm_tpu.data.augmentation import apply_rotational_homography_aug
+from gasfm_tpu.data.sampling import sample_data
+from gasfm_tpu.data.scene import SceneData
+
+
+def dataloader_collate_fn(samples: List[SceneData]) -> List[SceneData]:
+    """Trivial collate: the batch is a list of SceneData (reference
+    ScenesDataSet.py:5-10)."""
+    return samples
+
+
+class ScenesDataSet:
+    """Parity: reference ScenesDataSet (ScenesDataSet.py:12-51)."""
+
+    def __init__(
+        self,
+        data_list: List[SceneData],
+        return_all: bool,
+        min_num_views_sampled: int = 10,
+        max_num_views_sampled: int = 30,
+        inplane_rot_aug_max_angle: Optional[float] = None,
+        tilt_rot_aug_max_angle: Optional[float] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.data_list = data_list
+        self.return_all = return_all
+        self.min_num_views_sampled = min_num_views_sampled
+        self.max_num_views_sampled = max_num_views_sampled
+        self.inplane_rot_aug_max_angle = inplane_rot_aug_max_angle
+        self.tilt_rot_aug_max_angle = tilt_rot_aug_max_angle
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def __getitem__(self, item: int) -> SceneData:
+        current = self.data_list[item]
+        if not self.return_all:
+            max_sample = min(self.max_num_views_sampled, current.num_views)
+            if self.min_num_views_sampled >= max_sample:
+                sample_fraction = max_sample
+            else:
+                sample_fraction = int(
+                    self.rng.integers(self.min_num_views_sampled, max_sample + 1)
+                )
+            current = sample_data(current, sample_fraction, rng=self.rng)
+        if self.inplane_rot_aug_max_angle is not None or self.tilt_rot_aug_max_angle is not None:
+            current = apply_rotational_homography_aug(
+                current,
+                inplane_rot_aug_max_angle=self.inplane_rot_aug_max_angle,
+                tilt_rot_aug_max_angle=self.tilt_rot_aug_max_angle,
+                rng=self.rng,
+            )
+        return current
+
+    def __len__(self) -> int:
+        return len(self.data_list)
+
+
+class SceneLoader:
+    """Batched iterator with optional single-thread prefetch.
+
+    Yields lists of SceneData of length ``batch_size`` (last batch may be
+    short), mirroring DataLoader(batch_size, shuffle) semantics.
+    """
+
+    def __init__(
+        self,
+        dataset: ScenesDataSet,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        prefetch: int = 2,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[List[SceneData]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            yield dataloader_collate_fn([self.dataset[j] for j in order[i : i + self.batch_size]])
+
+    def __iter__(self) -> Iterator[List[SceneData]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # noqa: BLE001 - propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

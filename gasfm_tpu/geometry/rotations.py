@@ -1,0 +1,183 @@
+"""Rotation parametrizations — JAX (device, differentiable) and NumPy (host).
+
+Behavioral parity targets:
+- quaternion decode: pytorch3d ``quaternion_to_matrix`` semantics
+  (reference: code/models/baseNet.py:48).
+- 6d decode: pytorch3d ``rotation_6d_to_matrix`` (Zhou et al.) semantics
+  (reference: code/models/baseNet.py:43).
+- SVD projection to SO(3) (reference: code/utils/geo_utils.py:25-31).
+- Rodrigues packing for bundle adjustment (reference:
+  code/utils/ceres_utils.py:25,43 via cv2.Rodrigues).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# JAX (device) — used by model heads and losses
+# ---------------------------------------------------------------------------
+
+
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz quaternions -> (..., 3, 3) rotations.
+
+    Matches pytorch3d: normalizes implicitly via 2/||q||^2; real part first.
+    """
+    r, i, j, k = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two_s = 2.0 / jnp.sum(q * q, axis=-1)
+    o = jnp.stack(
+        [
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ],
+        axis=-1,
+    )
+    return o.reshape(q.shape[:-1] + (3, 3))
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) -> (..., 3, 3); rows are the orthonormalized basis (pytorch3d)."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    dot = jnp.sum(b1 * a2, axis=-1, keepdims=True)
+    b2 = a2 - dot * b1
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def project_to_rot(m: jnp.ndarray) -> jnp.ndarray:
+    """Project (..., 3, 3) matrices to SO(3) via SVD with det fix-up.
+
+    Parity: reference code/utils/geo_utils.py:25-31.
+    """
+    u, _, vt = jnp.linalg.svd(m, full_matrices=False)
+    det = jnp.linalg.det(jnp.matmul(u, vt))
+    vt_fixed = jnp.concatenate([vt[..., :2, :], vt[..., 2:, :] * det[..., None, None]], axis=-2)
+    return jnp.matmul(u, vt_fixed)
+
+
+def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 4) wxyz unit quaternions (branch-free, stable).
+
+    NOTE: the reference's GTLoss calls a ``geo_utils.rot_to_quat`` that does
+    not exist anywhere in the reference tree (dead code); this is a working
+    implementation so the GTLoss oracle actually runs here.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    qw_abs = safe_sqrt(1.0 + m00 + m11 + m22) / 2.0
+    qx_abs = safe_sqrt(1.0 + m00 - m11 - m22) / 2.0
+    qy_abs = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
+    qz_abs = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
+    # Sign recovery relative to w >= 0.
+    qx = jnp.copysign(qx_abs, m21 - m12)
+    qy = jnp.copysign(qy_abs, m02 - m20)
+    qz = jnp.copysign(qz_abs, m10 - m01)
+    q = jnp.stack([qw_abs, qx, qy, qz], axis=-1)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) axis-angle (radians) -> (..., 3, 3) via Rodrigues' formula."""
+    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    small = theta < 1e-8
+    axis = aa / jnp.where(small, jnp.ones_like(theta), theta)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack(
+        [zero, -z, y, z, zero, -x, -y, x, zero], axis=-1
+    ).reshape(aa.shape[:-1] + (3, 3))
+    t = theta[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    R = eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * jnp.matmul(K, K)
+    return jnp.where(small[..., None], eye + K, R)
+
+
+# ---------------------------------------------------------------------------
+# NumPy (host) — used by augmentation, BA packing, evaluation
+# ---------------------------------------------------------------------------
+
+
+def axis_angle_to_matrix_np(aa: np.ndarray) -> np.ndarray:
+    aa = np.asarray(aa, dtype=np.float64)
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True)
+    small = (theta < 1e-12)[..., 0]
+    axis = aa / np.where(theta < 1e-12, 1.0, theta)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = np.zeros_like(x)
+    K = np.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1).reshape(aa.shape[:-1] + (3, 3))
+    t = theta[..., None]
+    eye = np.broadcast_to(np.eye(3), K.shape).copy()
+    R = eye + np.sin(t) * K + (1.0 - np.cos(t)) * (K @ K)
+    R[small] = eye[small]
+    return R
+
+
+def matrix_to_axis_angle_np(R: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) rotations -> (..., 3) axis-angle (Rodrigues vectors).
+
+    Equivalent to cv2.Rodrigues applied batchwise (reference:
+    code/utils/ceres_utils.py:25).
+    """
+    R = np.asarray(R, dtype=np.float64)
+    tr = np.trace(R, axis1=-2, axis2=-1)
+    cos_theta = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    # Antisymmetric part
+    w = np.stack(
+        [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0], R[..., 1, 0] - R[..., 0, 1]],
+        axis=-1,
+    )
+    sin_theta = np.sin(theta)
+    out = np.zeros(R.shape[:-2] + (3,))
+    # Generic case
+    generic = sin_theta > 1e-7
+    out[generic] = (w[generic] / (2.0 * sin_theta[generic][..., None])) * theta[generic][..., None]
+    # theta ~ 0: first-order w/2
+    near_zero = (~generic) & (theta < 1e-3)
+    out[near_zero] = w[near_zero] / 2.0
+    # theta ~ pi: axis from diagonal of (R + I)/2
+    near_pi = (~generic) & (theta >= 1e-3)
+    if np.any(near_pi):
+        Rp = R[near_pi]
+        A = (Rp + np.eye(3)) / 2.0
+        axis = np.sqrt(np.maximum(np.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1), 0.0))
+        # Fix signs using off-diagonal terms relative to largest component
+        max_i = np.argmax(axis, axis=-1)
+        for idx in range(axis.shape[0]):
+            i = max_i[idx]
+            j, k = (i + 1) % 3, (i + 2) % 3
+            if axis[idx, i] > 0:
+                axis[idx, j] = A[idx, i, j] / axis[idx, i]
+                axis[idx, k] = A[idx, i, k] / axis[idx, i]
+        axis = axis / np.maximum(np.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
+        out[near_pi] = axis * theta[near_pi][..., None]
+    return out
+
+
+def compare_rotations_np(R1: np.ndarray, R2: np.ndarray) -> np.ndarray:
+    """Geodesic angle in degrees between rotation batches.
+
+    Parity: reference code/utils/geo_utils.py:14-22.
+    """
+    cos_err = (R1 @ np.transpose(R2, (0, 2, 1)))[:, np.arange(3), np.arange(3)]
+    cos_err = (cos_err.sum(axis=-1) - 1.0) / 2.0
+    cos_err = np.clip(cos_err, -1.0, 1.0)
+    return np.arccos(cos_err) * 180.0 / np.pi

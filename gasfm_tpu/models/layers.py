@@ -1,0 +1,689 @@
+"""Model building blocks (flax.linen) over the edge-centric graph.
+
+Behavioral parity surface: reference code/models/layers.py (1015 LoC). Every
+module documents the reference symbol it reproduces. Architectural
+differences are TPU-driven only: aggregations run as masked segment
+reductions over the padded edge arrays instead of PyG message passing, and
+all shapes are static.
+
+Initializer parity: torch ``nn.Linear`` default init (uniform
++-1/sqrt(fan_in) for weight and bias) for plain linears; PyG's Glorot with
+zero bias for the GATv2 linears/attention (PyG GATv2Conv defaults).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gasfm_tpu.graph.view_graph import ViewGraph
+from gasfm_tpu.ops.gatv2 import gatv2_attend
+from gasfm_tpu.ops.segment import gather_segments, masked_mean, segment_mean
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def _torch_uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """Linear layer with torch nn.Linear default initialization."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        bound = 1.0 / math.sqrt(in_dim)
+        kernel = self.param("kernel", _torch_uniform_init(bound), (in_dim, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", _torch_uniform_init(bound), (self.features,))
+            y = y + bias
+        return y
+
+
+def layer_norm(name: Optional[str] = None) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=LN_EPS, name=name)
+
+
+class MLPStack(nn.Module):
+    """Parity: reference ``get_linear_layers`` (code/models/layers.py:10-44).
+
+    feats = (d_in, ..., d_out); LayerNorm+ReLU between layers iff norm=True
+    (ReLU always), optional leading/trailing activation blocks.
+    """
+
+    feats: Tuple[int, ...]
+    init_activation: bool = False
+    final_activation: bool = False
+    norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        assert len(self.feats) >= 2
+        if self.init_activation:
+            if self.norm:
+                x = layer_norm()(x)
+            x = nn.relu(x)
+        for i in range(len(self.feats) - 2):
+            x = TorchDense(self.feats[i + 1])(x)
+            if self.norm:
+                x = layer_norm()(x)
+            x = nn.relu(x)
+        x = TorchDense(self.feats[-1])(x)
+        if self.final_activation:
+            if self.norm:
+                x = layer_norm()(x)
+            x = nn.relu(x)
+        return x
+
+
+def positional_embed(x: jnp.ndarray, n_freq: int) -> jnp.ndarray:
+    """NeRF-style frequency embedding, include-input, log-sampled 2^k freqs.
+
+    Parity: reference code/utils/pos_enc_utils.py:4-58 (ordering: input, then
+    per-frequency sin, cos).
+    """
+    if n_freq <= 0:
+        return x
+    outs = [x]
+    for k in range(n_freq):
+        freq = 2.0 ** k
+        outs.append(jnp.sin(x * freq))
+        outs.append(jnp.cos(x * freq))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def pos_embed_dim(in_dim: int, n_freq: int) -> int:
+    return in_dim if n_freq <= 0 else in_dim * (1 + 2 * n_freq)
+
+
+class EmbeddingLayer(nn.Module):
+    """Parity: reference ``EmbeddingLayer`` (code/models/layers.py:992-1015)."""
+
+    pos_emb_n_freq: int
+    post_embed_proj_dim: Optional[int] = None  # -1 => keep embedding width
+
+    @nn.compact
+    def __call__(self, x):
+        x = positional_embed(x, self.pos_emb_n_freq)
+        if self.post_embed_proj_dim is not None:
+            d = x.shape[-1] if self.post_embed_proj_dim == -1 else self.post_embed_proj_dim
+            x = TorchDense(d, name="post_embed_lin")(x)
+        return x
+
+
+class GATv2SegmentConv(nn.Module):
+    """PyG GATv2Conv(add_self_loops=False) over star graphs.
+
+    Source nodes = rows of ``x_src``; each attends into its segment's single
+    aggregation node whose (optional) query features are ``query``.
+    Parity: PyG GATv2Conv as instantiated in reference layers.py:304-309.
+    """
+
+    out_per_head: int
+    heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jnp.ndarray,  # (E, d_in)
+        seg_ids: jnp.ndarray,  # (E,)
+        num_segments: int,
+        query: Optional[jnp.ndarray] = None,  # (S, d_in); zeros if None
+        edge_mask: Optional[jnp.ndarray] = None,
+        indices_are_sorted: bool = False,
+    ) -> jnp.ndarray:
+        H, C = self.heads, self.out_per_head
+        glorot = nn.initializers.glorot_uniform()
+        lin_l_k = self.param("lin_l_kernel", glorot, (x_src.shape[-1], H * C))
+        lin_l_b = self.param("lin_l_bias", nn.initializers.zeros, (H * C,))
+        lin_r_k = self.param("lin_r_kernel", glorot, (x_src.shape[-1], H * C))
+        lin_r_b = self.param("lin_r_bias", nn.initializers.zeros, (H * C,))
+        att = self.param("att", glorot, (H, C))
+        bias = self.param("bias", nn.initializers.zeros, (H * C,))
+
+        xl = (x_src @ lin_l_k + lin_l_b).reshape(-1, H, C)
+        if query is None:
+            xr = jnp.broadcast_to(lin_r_b, (num_segments, H * C)).reshape(num_segments, H, C)
+        else:
+            xr = (query @ lin_r_k + lin_r_b).reshape(num_segments, H, C)
+        out = gatv2_attend(
+            xl, xr, att, seg_ids, num_segments,
+            edge_mask=edge_mask, indices_are_sorted=indices_are_sorted,
+        )
+        return out.reshape(num_segments, H * C) + bias
+
+
+def default_agg_width(in_feat: int, heads: int) -> int:
+    """Aggregation width defaulting rule (reference layers.py:287-291)."""
+    agg = in_feat
+    if agg % heads:
+        agg += heads - (agg % heads)
+    return agg
+
+
+class QueryAdapter(nn.Module):
+    """LN + ReLU (+ Linear if widths differ): the stateful-attention query
+    path (reference ``norm_and_proj_*`` Sequentials, layers.py:295-303)."""
+
+    project_to: Optional[int]  # None => no linear
+
+    @nn.compact
+    def __call__(self, x):
+        x = layer_norm()(x)
+        x = nn.relu(x)
+        if self.project_to is not None:
+            x = TorchDense(self.project_to)(x)
+        return x
+
+
+class AxialAttentionAggregator(nn.Module):
+    """Edge->node attention aggregation with residual MLP head.
+
+    Parity: reference ``Proj2View`` (layers.py:266-361) and
+    ``Proj2ScenePoint`` (layers.py:363-458) — both have identical structure,
+    differing only in which axis the segments run over; here the caller
+    supplies the segment ids.
+    """
+
+    in_feat: int
+    out_feat: int
+    n_heads: int
+    stateful: bool = True
+    agg_feat: Optional[int] = None
+    n_hidden_layers: int = 0
+    use_norm_pre_mlp: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x_edges: jnp.ndarray,  # (E, in_feat)
+        seg_ids: jnp.ndarray,
+        num_segments: int,
+        edge_mask: jnp.ndarray,
+        prev: Optional[jnp.ndarray] = None,  # (S, out_feat) iff stateful
+        indices_are_sorted: bool = False,
+    ) -> jnp.ndarray:
+        assert self.stateful == (prev is not None)
+        agg = self.agg_feat if self.agg_feat is not None else default_agg_width(self.in_feat, self.n_heads)
+        assert agg % self.n_heads == 0
+
+        query = None
+        if self.stateful:
+            query = QueryAdapter(
+                project_to=self.in_feat if self.in_feat != self.out_feat else None,
+                name="query_adapter",
+            )(prev)
+
+        x = GATv2SegmentConv(agg // self.n_heads, self.n_heads, name="graph_conv")(
+            x_edges, seg_ids, num_segments, query=query, edge_mask=edge_mask,
+            indices_are_sorted=indices_are_sorted,
+        )
+        if agg != self.out_feat:
+            x = TorchDense(self.out_feat, name="proj_agg")(x)
+        if prev is not None:
+            x = prev + x
+
+        x_skip = x
+        if self.use_norm_pre_mlp:
+            x = layer_norm(name="norm_pre_mlp")(x)
+            x = nn.relu(x)
+        x = MLPStack(tuple([self.out_feat] * (2 + self.n_hidden_layers)), norm=False, name="mlp")(x)
+        return x_skip + x
+
+
+class ViewAndScenePoint2Global(nn.Module):
+    """Two single-segment attention pools (views -> global, points -> global)
+    concatenated. Parity: reference layers.py:460-603."""
+
+    n_feat_scenepoint_in: int
+    n_feat_view_in: int
+    n_feat_global_out: int
+    n_heads: int
+    stateful: bool = True
+    n_feat_scenepoint2global_agg: Optional[int] = None
+    n_feat_view2global_agg: Optional[int] = None
+    n_hidden_layers: int = 0
+    use_norm_pre_mlp: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        view_features: jnp.ndarray,  # (M, dv)
+        scenepoint_features: jnp.ndarray,  # (N, ds)
+        cam_valid: jnp.ndarray,  # (M,) bool
+        pt_valid: jnp.ndarray,  # (N,) bool
+        prev_global: Optional[jnp.ndarray] = None,  # (1, dg)
+    ) -> jnp.ndarray:
+        assert self.stateful == (prev_global is not None)
+        v2g = self.n_feat_view2global_agg or default_agg_width(self.n_feat_view_in, self.n_heads)
+        s2g = self.n_feat_scenepoint2global_agg or default_agg_width(
+            self.n_feat_scenepoint_in, self.n_heads
+        )
+
+        q_view = q_pt = None
+        if self.stateful:
+            q_view = QueryAdapter(
+                project_to=self.n_feat_view_in if self.n_feat_view_in != self.n_feat_global_out else None,
+                name="query_adapter_view",
+            )(prev_global)
+            q_pt = QueryAdapter(
+                project_to=self.n_feat_scenepoint_in
+                if self.n_feat_scenepoint_in != self.n_feat_global_out
+                else None,
+                name="query_adapter_scenepoint",
+            )(prev_global)
+
+        # One segment (id 0); invalid rows routed to the trash segment (id 1).
+        view_seg = jnp.where(cam_valid, 0, 1).astype(jnp.int32)
+        pt_seg = jnp.where(pt_valid, 0, 1).astype(jnp.int32)
+
+        view_pooled = GATv2SegmentConv(v2g // self.n_heads, self.n_heads, name="graph_conv_view2global")(
+            view_features, view_seg, 1, query=q_view, edge_mask=cam_valid
+        )  # (1, v2g)
+        pt_pooled = GATv2SegmentConv(
+            s2g // self.n_heads, self.n_heads, name="graph_conv_scenepoint2global"
+        )(scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid)  # (1, s2g)
+
+        x = jnp.concatenate([view_pooled, pt_pooled], axis=1)
+        if (v2g + s2g) != self.n_feat_global_out:
+            x = TorchDense(self.n_feat_global_out, name="proj_global")(x)
+        if prev_global is not None:
+            x = prev_global + x
+
+        x_skip = x
+        if self.use_norm_pre_mlp:
+            x = layer_norm(name="norm_pre_mlp")(x)
+            x = nn.relu(x)
+        x = MLPStack(
+            tuple([self.n_feat_global_out] * (2 + self.n_hidden_layers)), norm=False, name="mlp"
+        )(x)
+        return x_skip + x
+
+
+class GlobalBroadcastUpdate(nn.Module):
+    """Global -> per-view / per-point residual broadcast update.
+
+    Parity: reference ``Global2View`` / ``Global2ScenePoint``
+    (layers.py:605-721). Disabled in all shipped confs but part of the
+    capability surface.
+    """
+
+    n_feat_in_out: int
+    n_hidden_layers: int = 0
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, global_features: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
+        x = prev
+        if self.use_norm:
+            x = layer_norm(name="node_norm")(x)
+            x = nn.relu(x)
+        x = TorchDense(self.n_feat_in_out, name="lin_node")(x)
+        g = global_features
+        if self.use_norm:
+            g = layer_norm(name="global_norm")(g)
+            g = nn.relu(g)
+        g = TorchDense(self.n_feat_in_out, use_bias=False, name="lin_global")(g)
+        x = x + g
+        if self.n_hidden_layers > 0:
+            x = nn.relu(x)
+            x = MLPStack(
+                tuple([self.n_feat_in_out] * self.n_hidden_layers + [self.n_feat_in_out]),
+                norm=False,
+                name="mlp",
+            )(x)
+        return prev + x
+
+
+class GraphAttnGlobalFeatureUpdate(nn.Module):
+    """Composes the three aggregators + optional global broadcasts.
+
+    Parity: reference ``GraphAttnSfMGlobalFeatureUpdate``
+    (layers.py:723-870).
+    """
+
+    n_feat_proj_in: int
+    n_feat_scenepoint_out: int
+    n_feat_view_out: int
+    n_feat_global_out: Optional[int] = None
+    n_feat_proj2scenepoint_agg: Optional[int] = None
+    n_feat_proj2view_agg: Optional[int] = None
+    n_feat_scenepoint2global_agg: Optional[int] = None
+    n_feat_view2global_agg: Optional[int] = None
+    output_global: bool = True
+    n_heads: int = 1
+    stateful: bool = True
+    global2view_and_global2scenepoint_enabled: bool = True
+    n_hidden_layers_scenepoint_update: int = 0
+    n_hidden_layers_view_update: int = 0
+    n_hidden_layers_global_update: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x_edges: jnp.ndarray,  # (E, d) normalized projection features
+        graph: ViewGraph,
+        prev_scenepoint_features: Optional[jnp.ndarray] = None,
+        prev_view_features: Optional[jnp.ndarray] = None,
+        prev_global_features: Optional[jnp.ndarray] = None,
+    ):
+        need_global = self.output_global or self.global2view_and_global2scenepoint_enabled
+        if need_global:
+            assert self.n_feat_global_out is not None
+
+        scenepoint_features = AxialAttentionAggregator(
+            self.n_feat_proj_in,
+            self.n_feat_scenepoint_out,
+            self.n_heads,
+            stateful=self.stateful,
+            agg_feat=self.n_feat_proj2scenepoint_agg,
+            n_hidden_layers=self.n_hidden_layers_scenepoint_update,
+            name="proj2scenepoint",
+        )(
+            x_edges,
+            graph.pt_idx,
+            graph.num_pts,
+            graph.edge_mask,
+            prev=prev_scenepoint_features,
+            indices_are_sorted=False,
+        )
+
+        view_features = AxialAttentionAggregator(
+            self.n_feat_proj_in,
+            self.n_feat_view_out,
+            self.n_heads,
+            stateful=self.stateful,
+            agg_feat=self.n_feat_proj2view_agg,
+            n_hidden_layers=self.n_hidden_layers_view_update,
+            name="proj2view",
+        )(
+            x_edges,
+            graph.cam_idx,
+            graph.num_cams,
+            graph.edge_mask,
+            prev=prev_view_features,
+            indices_are_sorted=True,
+        )
+
+        global_features = None
+        if need_global:
+            global_features = ViewAndScenePoint2Global(
+                self.n_feat_scenepoint_out,
+                self.n_feat_view_out,
+                self.n_feat_global_out,
+                self.n_heads,
+                stateful=self.stateful,
+                n_feat_scenepoint2global_agg=self.n_feat_scenepoint2global_agg,
+                n_feat_view2global_agg=self.n_feat_view2global_agg,
+                n_hidden_layers=self.n_hidden_layers_global_update,
+                name="view_and_scenepoint2global",
+            )(
+                view_features,
+                scenepoint_features,
+                graph.cam_valid,
+                graph.pt_valid,
+                prev_global=prev_global_features,
+            )
+
+        if self.global2view_and_global2scenepoint_enabled:
+            scenepoint_features = GlobalBroadcastUpdate(
+                self.n_feat_scenepoint_out,
+                n_hidden_layers=self.n_hidden_layers_scenepoint_update,
+                name="global2scenepoint",
+            )(global_features, scenepoint_features)
+            view_features = GlobalBroadcastUpdate(
+                self.n_feat_view_out,
+                n_hidden_layers=self.n_hidden_layers_view_update,
+                name="global2view",
+            )(global_features, view_features)
+
+        if not self.output_global:
+            return scenepoint_features, view_features
+        return scenepoint_features, view_features, global_features
+
+
+class ProjectionFeatureUpdate(nn.Module):
+    """Fused gather-broadcast edge update
+    ``(lin_p(e) + lin_s(s)[pt] + lin_v(v)[cam] + lin_g(g)) / 4``.
+
+    Parity: reference ``GraphAttnSfMProjectionFeatureUpdate``
+    (layers.py:873-956).
+    """
+
+    n_feat_proj_out: int
+    n_hidden_layers: int = 0
+    normalize_global_features: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        scenepoint_features: jnp.ndarray,  # (N, ds)
+        view_features: jnp.ndarray,  # (M, dv)
+        global_features: jnp.ndarray,  # (1, dg)
+        x_edges: jnp.ndarray,  # (E, de), already normalized
+        graph: ViewGraph,
+    ) -> jnp.ndarray:
+        s, v, g = scenepoint_features, view_features, global_features
+        if self.normalize_global_features:
+            s = nn.relu(layer_norm(name="scenepoint_norm")(s))
+            v = nn.relu(layer_norm(name="view_norm")(v))
+            g = nn.relu(layer_norm(name="global_norm")(g))
+
+        pe = TorchDense(self.n_feat_proj_out, name="lin_proj")(x_edges)
+        ps = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_scenepoint")(s)
+        pv = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_view")(v)
+        pg = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_global")(g)
+
+        new = (
+            pe
+            + gather_segments(ps, graph.pt_idx, graph.num_pts)
+            + gather_segments(pv, graph.cam_idx, graph.num_cams)
+            + pg
+        ) / 4.0
+        if self.n_hidden_layers > 0:
+            new = nn.relu(new)
+            new = MLPStack(
+                tuple([self.n_feat_proj_out] * self.n_hidden_layers + [self.n_feat_proj_out]),
+                norm=False,
+                name="mlp",
+            )(new)
+        return new
+
+
+def normalize_edge_features(
+    x: jnp.ndarray, edge_mask: jnp.ndarray, norm: Optional[nn.Module]
+) -> jnp.ndarray:
+    """LayerNorm per edge, or masked mean-centering over valid edges.
+
+    Parity: reference ``normalize_projection_features`` (layers.py:972-979).
+    """
+    if norm is not None:
+        return norm(x)
+    mean = masked_mean(x, edge_mask, axis=0)
+    return x - mean[None, :]
+
+
+class GraphAttnLayer(nn.Module):
+    """One GASFM message-passing round.
+
+    Parity: reference ``GraphAttnSfMLayer`` (layers.py:150-263): LN+ReLU on
+    edge features -> global feature update -> optional init-embedding concat
+    -> edge update -> residual (with projected skip when widths differ).
+    """
+
+    n_feat_proj_in: int
+    n_feat_proj_out: int
+    n_feat_scenepoint_hidden: int
+    n_feat_view_hidden: int
+    n_feat_global_hidden: int
+    n_feat_proj2scenepoint_agg: Optional[int] = None
+    n_feat_proj2view_agg: Optional[int] = None
+    n_feat_scenepoint2global_agg: Optional[int] = None
+    n_feat_view2global_agg: Optional[int] = None
+    use_norm_proj_update: bool = True
+    add_residual_skipconn_proj_update: bool = True
+    n_feat_skipconn_init_projfeat_in: Optional[int] = None
+    n_heads: int = 1
+    stateful: bool = True
+    global2view_and_global2scenepoint_enabled: bool = True
+    n_hidden_layers_scenepoint_update: int = 0
+    n_hidden_layers_view_update: int = 0
+    n_hidden_layers_global_update: int = 0
+    n_hidden_layers_proj_update: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        prev_projection_features: jnp.ndarray,  # (E, d_in)
+        graph: ViewGraph,
+        prev_scenepoint_features: Optional[jnp.ndarray] = None,
+        prev_view_features: Optional[jnp.ndarray] = None,
+        prev_global_features: Optional[jnp.ndarray] = None,
+        skipconn_init_projfeat: Optional[jnp.ndarray] = None,
+    ):
+        raw = prev_projection_features
+        if self.use_norm_proj_update:
+            x = layer_norm(name="prev_projfeat_norm")(raw)
+        else:
+            x = normalize_edge_features(raw, graph.edge_mask, None)
+        x = nn.relu(x)
+
+        s, v, g = GraphAttnGlobalFeatureUpdate(
+            self.n_feat_proj_in,
+            self.n_feat_scenepoint_hidden,
+            self.n_feat_view_hidden,
+            n_feat_global_out=self.n_feat_global_hidden,
+            n_feat_proj2scenepoint_agg=self.n_feat_proj2scenepoint_agg,
+            n_feat_proj2view_agg=self.n_feat_proj2view_agg,
+            n_feat_scenepoint2global_agg=self.n_feat_scenepoint2global_agg,
+            n_feat_view2global_agg=self.n_feat_view2global_agg,
+            output_global=True,
+            n_heads=self.n_heads,
+            stateful=self.stateful,
+            global2view_and_global2scenepoint_enabled=self.global2view_and_global2scenepoint_enabled,
+            n_hidden_layers_scenepoint_update=self.n_hidden_layers_scenepoint_update,
+            n_hidden_layers_view_update=self.n_hidden_layers_view_update,
+            n_hidden_layers_global_update=self.n_hidden_layers_global_update,
+            name="global_feature_update",
+        )(
+            x,
+            graph,
+            prev_scenepoint_features=prev_scenepoint_features,
+            prev_view_features=prev_view_features,
+            prev_global_features=prev_global_features,
+        )
+
+        e = x
+        if self.n_feat_skipconn_init_projfeat_in is not None:
+            assert skipconn_init_projfeat is not None
+            assert skipconn_init_projfeat.shape[-1] == self.n_feat_skipconn_init_projfeat_in
+            e = jnp.concatenate([e, skipconn_init_projfeat], axis=-1)
+
+        e = ProjectionFeatureUpdate(
+            self.n_feat_proj_out,
+            n_hidden_layers=self.n_hidden_layers_proj_update,
+            normalize_global_features=True,
+            name="projection_feature_update",
+        )(s, v, g, e, graph)
+
+        if self.add_residual_skipconn_proj_update:
+            x_skip = raw
+            if self.n_feat_proj_in != self.n_feat_proj_out:
+                if self.use_norm_proj_update:
+                    x_skip = layer_norm(name="residual_skipconn_proj_norm")(x_skip)
+                    x_skip = nn.relu(x_skip)
+                x_skip = TorchDense(self.n_feat_proj_out, name="skip_projection")(x_skip)
+            e = x_skip + e
+
+        return e, s, v, g
+
+
+# ---------------------------------------------------------------------------
+# DPESFM (SetOfSet) blocks
+# ---------------------------------------------------------------------------
+
+
+class SetOfSetGlobalFeatureUpdate(nn.Module):
+    """Per-point / per-view / global means through linears.
+
+    Parity: reference layers.py:100-126.
+    """
+
+    d_out: int
+    output_global: bool = True
+
+    @nn.compact
+    def __call__(self, x_edges: jnp.ndarray, graph: ViewGraph):
+        mean_colwise = segment_mean(
+            x_edges, graph.pt_idx, graph.num_pts, edge_mask=graph.edge_mask
+        )  # (N, d)
+        scenepoint_features = TorchDense(self.d_out, name="lin_scenepoint")(mean_colwise)
+        mean_rowwise = segment_mean(
+            x_edges, graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask, indices_are_sorted=True
+        )  # (M, d)
+        view_features = TorchDense(self.d_out, name="lin_view")(mean_rowwise)
+        if not self.output_global:
+            return scenepoint_features, view_features
+        global_mean = masked_mean(x_edges, graph.edge_mask, axis=0)[None, :]
+        global_features = TorchDense(self.d_out, name="lin_global")(global_mean)
+        return scenepoint_features, view_features, global_features
+
+
+class SetOfSetLayer(nn.Module):
+    """Parity: reference ``SetOfSetLayer`` (layers.py:87-97)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, x_edges: jnp.ndarray, graph: ViewGraph) -> jnp.ndarray:
+        s, v, g = SetOfSetGlobalFeatureUpdate(self.d_out, name="global_feature_update")(
+            x_edges, graph
+        )
+        pe = TorchDense(self.d_out, name="lin_proj")(x_edges)
+        new = (
+            pe
+            + gather_segments(s, graph.pt_idx, graph.num_pts)
+            + gather_segments(v, graph.cam_idx, graph.num_cams)
+            + g
+        ) / 4.0
+        return new
+
+
+class SetOfSetBlock(nn.Module):
+    """Parity: reference ``SetOfSetBlock`` (code/models/SetOfSet.py:7-46)."""
+
+    d_in: int
+    d_out: int
+    block_size: int
+    proj_feat_normalization: bool
+    add_skipconn_for_residual_blocks: bool
+
+    @nn.compact
+    def __call__(self, x_edges: jnp.ndarray, graph: ViewGraph) -> jnp.ndarray:
+        xl = x_edges
+        for i in range(self.block_size):
+            xl = SetOfSetLayer(self.d_out, name=f"layers_{i}")(xl, graph)
+            if i < self.block_size - 1:
+                if self.proj_feat_normalization:
+                    xl = normalize_edge_features(xl, graph.edge_mask, None)
+                xl = nn.relu(xl)
+        if self.add_skipconn_for_residual_blocks:
+            x_skip = x_edges
+            if self.d_in != self.d_out:
+                x_skip = TorchDense(self.d_out, name="skip_projection")(x_skip)
+                if self.proj_feat_normalization:
+                    x_skip = normalize_edge_features(x_skip, graph.edge_mask, None)
+            xl = x_skip + xl
+        return nn.relu(xl)

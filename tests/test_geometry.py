@@ -1,0 +1,199 @@
+"""Geometry tests: rotations (scipy oracle), triangulation exactness on
+synthetic scenes, alignment recovery, reprojection errors."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+import jax.numpy as jnp
+
+from gasfm_tpu.data.synthetic import generate_synthetic_scene
+from gasfm_tpu.geometry import (
+    align_cameras,
+    get_M_valid_points,
+    n_view_triangulation,
+    normalize_M,
+    reprojection_error_with_points,
+)
+from gasfm_tpu.geometry.np_geo import (
+    M_to_xs,
+    decompose_camera_matrix,
+    shuffle_coo_along_axis_preserving_pattern,
+    xs_valid_points,
+)
+from gasfm_tpu.geometry.rotations import (
+    axis_angle_to_matrix_np,
+    compare_rotations_np,
+    matrix_to_axis_angle_np,
+    matrix_to_quaternion,
+    project_to_rot,
+    quaternion_to_matrix,
+    rotation_6d_to_matrix,
+)
+
+
+def random_rotations(n, seed=0):
+    return ScipyRotation.random(n, rng=np.random.default_rng(seed)).as_matrix()
+
+
+class TestRotations:
+    def test_quaternion_to_matrix_matches_scipy(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(32, 4))
+        R_ours = np.asarray(quaternion_to_matrix(jnp.asarray(q, dtype=jnp.float32)))
+        # scipy uses xyzw and normalizes; ours matches pytorch3d (wxyz, 2/|q|^2)
+        q_norm = q / np.linalg.norm(q, axis=1, keepdims=True)
+        R_scipy = ScipyRotation.from_quat(q_norm[:, [1, 2, 3, 0]]).as_matrix()
+        # pytorch3d's formula yields R mapping in the same convention as scipy
+        np.testing.assert_allclose(R_ours, R_scipy, atol=1e-5)
+
+    def test_rotation_6d_roundtrip(self):
+        R = random_rotations(16, seed=1)
+        d6 = np.concatenate([R[:, 0, :], R[:, 1, :]], axis=1)  # rows b1, b2
+        R_rec = np.asarray(rotation_6d_to_matrix(jnp.asarray(d6, dtype=jnp.float32)))
+        np.testing.assert_allclose(R_rec, R, atol=1e-5)
+
+    def test_project_to_rot(self):
+        R = random_rotations(8, seed=2)
+        noisy = R + 0.05 * np.random.default_rng(3).normal(size=R.shape)
+        R_proj = np.asarray(project_to_rot(jnp.asarray(noisy, dtype=jnp.float32)))
+        # Valid rotations:
+        np.testing.assert_allclose(
+            R_proj @ np.transpose(R_proj, (0, 2, 1)), np.tile(np.eye(3), (8, 1, 1)), atol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.det(R_proj), 1.0, atol=1e-5)
+        # Close to original:
+        assert compare_rotations_np(R_proj, R).max() < 15.0
+
+    def test_matrix_to_quaternion_roundtrip(self):
+        R = random_rotations(64, seed=4)
+        q = np.asarray(matrix_to_quaternion(jnp.asarray(R, dtype=jnp.float32)))
+        R_rec = np.asarray(quaternion_to_matrix(jnp.asarray(q, dtype=jnp.float32)))
+        np.testing.assert_allclose(R_rec, R, atol=1e-5)
+
+    def test_axis_angle_roundtrip_np(self):
+        rng = np.random.default_rng(5)
+        aa = rng.normal(size=(64, 3))
+        aa[0] = 0.0  # identity corner case
+        R = axis_angle_to_matrix_np(aa)
+        R_scipy = ScipyRotation.from_rotvec(aa).as_matrix()
+        np.testing.assert_allclose(R, R_scipy, atol=1e-9)
+        aa_rec = matrix_to_axis_angle_np(R)
+        R_rec = axis_angle_to_matrix_np(aa_rec)
+        np.testing.assert_allclose(R_rec, R, atol=1e-7)
+
+
+class TestTriangulationAndErrors:
+    def test_triangulation_exact_on_synthetic(self):
+        data = generate_synthetic_scene(n_views=8, n_points=60, noise_px=0.0, seed=0)
+        X = n_view_triangulation(data.y.astype(np.float64), data.M.astype(np.float64), data.Ns.astype(np.float64))
+        xs = M_to_xs(data.M)
+        err = reprojection_error_with_points(data.y.astype(np.float64), X.T, xs.astype(np.float64))
+        assert np.nanmean(err) < 1e-2  # sub-centipixel on noise-free data
+
+    def test_triangulation_simplified_close_to_full(self):
+        data = generate_synthetic_scene(n_views=6, n_points=40, noise_px=0.5, seed=1)
+        xs = M_to_xs(data.M).astype(np.float64)
+        X_full = n_view_triangulation(data.y.astype(np.float64), data.M.astype(np.float64), data.Ns.astype(np.float64))
+        err_full = np.nanmean(
+            reprojection_error_with_points(data.y.astype(np.float64), X_full.T, xs)
+        )
+        assert err_full < 2.0  # still sub-2px under 0.5px noise
+
+    def test_valid_points_column_rule(self):
+        M = np.zeros((6, 4))
+        # point 0 seen in views 0,1; point 1 seen only in view 0; point 2 in all
+        M[0, 0] = M[1, 0] = 1.0
+        M[2, 0] = M[3, 0] = 1.0
+        M[0, 1] = M[1, 1] = 2.0
+        M[0, 2] = M[1, 2] = M[2, 2] = M[3, 2] = M[4, 2] = M[5, 2] = 3.0
+        valid = get_M_valid_points(M)
+        assert valid[:, 0].sum() == 2
+        assert valid[:, 1].sum() == 0  # single-view point invalidated
+        assert valid[:, 2].sum() == 3
+        assert valid[:, 3].sum() == 0
+
+    def test_normalize_M(self):
+        data = generate_synthetic_scene(n_views=5, n_points=30, seed=2)
+        norm = normalize_M(data.M.astype(np.float64), data.Ns.astype(np.float64))
+        valid = get_M_valid_points(data.M)
+        # normalized = N @ [x; 1] at valid entries
+        xs = M_to_xs(data.M)
+        i, j = np.nonzero(valid)
+        pts = np.concatenate([xs[i, j], np.ones((len(i), 1))], axis=1)
+        expected = np.einsum("kab,kb->ka", data.Ns[i].astype(np.float64), pts)[:, :2]
+        np.testing.assert_allclose(norm[i, j], expected, atol=1e-5)
+        assert np.all(norm[~valid] == 0)
+
+    def test_track_shuffle_preserves_pattern_and_deranges(self):
+        data = generate_synthetic_scene(n_views=6, n_points=30, seed=3)
+        visible = xs_valid_points(M_to_xs(data.M))
+        idx = np.array(np.nonzero(visible))
+        vals = np.arange(idx.shape[1], dtype=np.float64)[:, None]
+        new_vals, new_idx = shuffle_coo_along_axis_preserving_pattern(
+            vals.copy(), idx.copy(), shuffle_axis=0, rng=np.random.default_rng(0)
+        )
+        # Same sparsity pattern as sets
+        orig = set(map(tuple, idx.T))
+        new = set(map(tuple, new_idx.T))
+        assert orig == new
+        # Every observation moved to a different view within its track
+        # (vals carry original identity)
+        sort_by_val = np.argsort(new_vals[:, 0])
+        moved_rows = new_idx[0, sort_by_val]
+        orig_rows = idx[0]
+        assert np.all(moved_rows != orig_rows)
+
+
+class TestAlignment:
+    def test_alignment_recovers_similarity(self):
+        rng = np.random.default_rng(0)
+        n = 12
+        R_gt = random_rotations(n, seed=7)
+        t_gt = rng.normal(size=(n, 3))
+        # Apply a known similarity to generate predictions
+        R_sim = random_rotations(1, seed=8)[0]
+        c = 2.5
+        t_sim = np.array([0.3, -1.0, 2.0])
+        # gt = c * R_sim @ pred + t_sim  =>  pred = R_sim.T @ (gt - t_sim)/c
+        pred_R = np.einsum("ij,njk->nik", R_sim.T, R_gt)
+        pred_t = (t_gt - t_sim) / c @ R_sim  # row-vector form of R_sim.T @ x
+        Rs_fixed, ts_fixed, sim = align_cameras(pred_R, R_gt, pred_t, t_gt, return_alignment=True)
+        np.testing.assert_allclose(Rs_fixed, R_gt, atol=1e-5)
+        np.testing.assert_allclose(ts_fixed, t_gt, atol=1e-4)
+        np.testing.assert_allclose(sim[:3, :3], c * R_sim, atol=1e-4)
+
+    def test_irls_matches_scipy_on_sum_of_norms(self):
+        # The IRLS solver must find the global optimum of the same convex
+        # objective the reference solves with cvxpy (geo_utils.py:94-118).
+        from scipy.optimize import minimize
+
+        from gasfm_tpu.geometry.alignment import solve_sum_of_norms_scale_translation
+
+        rng = np.random.default_rng(1)
+        n = 20
+        t = rng.normal(size=(n, 3))
+        pred_t = t + 0.1 * rng.normal(size=(n, 3))
+        pred_t[0] += np.array([5.0, 0, 0])  # outlier
+
+        def obj(v):
+            c, tt = v[0], v[1:]
+            return np.linalg.norm(t - (c * pred_t + tt), axis=1).sum()
+
+        res = minimize(obj, np.array([1.0, 0, 0, 0]), method="Nelder-Mead",
+                       options={"xatol": 1e-10, "fatol": 1e-12, "maxiter": 20000})
+        c_irls, t_irls = solve_sum_of_norms_scale_translation(pred_t, t, n_iters=1000)
+        assert obj(np.concatenate([[c_irls], t_irls])) <= res.fun + 1e-6
+
+
+class TestCameraDecomposition:
+    def test_decompose_camera_roundtrip(self):
+        data = generate_synthetic_scene(n_views=6, n_points=40, seed=4)
+        Ks = np.linalg.inv(data.Ns.astype(np.float64))
+        Rs, Cs = decompose_camera_matrix(data.y.astype(np.float64), Ks)
+        # Recompose: P = K [R^T | -R^T C] (Rs returned are cam->world)
+        from gasfm_tpu.geometry.np_geo import batch_get_camera_matrix_from_rtk
+
+        P_rec = batch_get_camera_matrix_from_rtk(Rs, Cs, Ks)
+        scale = data.y[:, 0, 0] / P_rec[:, 0, 0]
+        np.testing.assert_allclose(P_rec * scale[:, None, None], data.y, rtol=1e-4, atol=1e-5)
