@@ -24,6 +24,15 @@ import jax.numpy as jnp
 from gasfm_tpu.graph.view_graph import SceneGraph, ViewGraph
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm whose gradient at 0 is 0 (torch's subgradient convention —
+    jnp.linalg.norm yields NaN there, which would poison masked padding
+    edges and exactly-zero residuals)."""
+    sq = jnp.sum(x * x, axis=axis)
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Edge projection
 # ---------------------------------------------------------------------------
@@ -140,7 +149,7 @@ class ESFMLoss:
         hinge = (self.infinity_pts_margin - depth) * self.hinge_loss_weight
         denom = jnp.where(pos_mask, depth, 1.0)
         pts2d = proj[:, :2] / denom[:, None]
-        reproj = jnp.linalg.norm(pts2d - graph.uv, axis=1)
+        reproj = safe_norm(pts2d - graph.uv, axis=1)
         per_edge = jnp.where(pos_mask, reproj, hinge)
         mask = graph.edge_mask.astype(per_edge.dtype)
         return jnp.sum(per_edge * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -162,7 +171,7 @@ class ExpDepthRegularizedOSELoss:
         proj = project_edges(pred["Ps_norm"], pred["pts3D"], graph)
         depth = proj[:, 2]
         depth_reg = self.depth_regul_weight * jnp.exp(-depth)
-        ose = jnp.linalg.norm(proj[:, :2] - depth[:, None] * graph.uv, axis=1)
+        ose = safe_norm(proj[:, :2] - depth[:, None] * graph.uv, axis=1)
         per_edge = ose + depth_reg
         mask = graph.edge_mask.astype(per_edge.dtype)
         return jnp.sum(per_edge * mask) / jnp.maximum(jnp.sum(mask), 1.0)
