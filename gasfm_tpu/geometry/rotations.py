@@ -130,46 +130,62 @@ def axis_angle_to_matrix_np(aa: np.ndarray) -> np.ndarray:
     return R
 
 
+def _matrix_to_quaternion_np(R: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) -> (..., 4) wxyz unit quaternions (branch-free, robust
+    at all angles including theta ~ pi)."""
+    m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    qw = np.sqrt(np.maximum(1.0 + m00 + m11 + m22, 0.0)) / 2.0
+    qx = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
+    qy = np.sqrt(np.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
+    qz = np.sqrt(np.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
+    q = np.stack([qw, qx, qy, qz], axis=-1)
+    # Refine signs/values using the component of largest magnitude (stable).
+    # Candidate reconstructions from each pivot:
+    out = np.empty_like(q)
+    pivot = np.argmax(q, axis=-1)
+    it = np.ndindex(*q.shape[:-1])
+    for idx in it:
+        p = pivot[idx]
+        Ri = R[idx]
+        if p == 0:
+            w = q[idx][0]
+            out[idx] = [w, (Ri[2, 1] - Ri[1, 2]) / (4 * w), (Ri[0, 2] - Ri[2, 0]) / (4 * w),
+                        (Ri[1, 0] - Ri[0, 1]) / (4 * w)]
+        elif p == 1:
+            x = q[idx][1]
+            out[idx] = [(Ri[2, 1] - Ri[1, 2]) / (4 * x), x, (Ri[0, 1] + Ri[1, 0]) / (4 * x),
+                        (Ri[0, 2] + Ri[2, 0]) / (4 * x)]
+        elif p == 2:
+            y = q[idx][2]
+            out[idx] = [(Ri[0, 2] - Ri[2, 0]) / (4 * y), (Ri[0, 1] + Ri[1, 0]) / (4 * y), y,
+                        (Ri[1, 2] + Ri[2, 1]) / (4 * y)]
+        else:
+            z = q[idx][3]
+            out[idx] = [(Ri[1, 0] - Ri[0, 1]) / (4 * z), (Ri[0, 2] + Ri[2, 0]) / (4 * z),
+                        (Ri[1, 2] + Ri[2, 1]) / (4 * z), z]
+    out /= np.linalg.norm(out, axis=-1, keepdims=True)
+    return out
+
+
 def matrix_to_axis_angle_np(R: np.ndarray) -> np.ndarray:
     """(..., 3, 3) rotations -> (..., 3) axis-angle (Rodrigues vectors).
 
     Equivalent to cv2.Rodrigues applied batchwise (reference:
-    code/utils/ceres_utils.py:25).
+    code/utils/ceres_utils.py:25). Goes through the quaternion
+    representation, which is uniformly accurate — including theta ~ pi,
+    where the classic sin-based formula degrades (look-at cameras on a ring
+    commonly have such rotations).
     """
     R = np.asarray(R, dtype=np.float64)
-    tr = np.trace(R, axis1=-2, axis2=-1)
-    cos_theta = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = np.arccos(cos_theta)
-    # Antisymmetric part
-    w = np.stack(
-        [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0], R[..., 1, 0] - R[..., 0, 1]],
-        axis=-1,
-    )
-    sin_theta = np.sin(theta)
-    out = np.zeros(R.shape[:-2] + (3,))
-    # Generic case
-    generic = sin_theta > 1e-7
-    out[generic] = (w[generic] / (2.0 * sin_theta[generic][..., None])) * theta[generic][..., None]
-    # theta ~ 0: first-order w/2
-    near_zero = (~generic) & (theta < 1e-3)
-    out[near_zero] = w[near_zero] / 2.0
-    # theta ~ pi: axis from diagonal of (R + I)/2
-    near_pi = (~generic) & (theta >= 1e-3)
-    if np.any(near_pi):
-        Rp = R[near_pi]
-        A = (Rp + np.eye(3)) / 2.0
-        axis = np.sqrt(np.maximum(np.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1), 0.0))
-        # Fix signs using off-diagonal terms relative to largest component
-        max_i = np.argmax(axis, axis=-1)
-        for idx in range(axis.shape[0]):
-            i = max_i[idx]
-            j, k = (i + 1) % 3, (i + 2) % 3
-            if axis[idx, i] > 0:
-                axis[idx, j] = A[idx, i, j] / axis[idx, i]
-                axis[idx, k] = A[idx, i, k] / axis[idx, i]
-        axis = axis / np.maximum(np.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
-        out[near_pi] = axis * theta[near_pi][..., None]
-    return out
+    q = _matrix_to_quaternion_np(R)
+    q = np.where(q[..., :1] < 0, -q, q)  # hemisphere with w >= 0
+    w = np.clip(q[..., 0], -1.0, 1.0)
+    xyz = q[..., 1:]
+    norm = np.linalg.norm(xyz, axis=-1)
+    theta = 2.0 * np.arctan2(norm, w)
+    small = norm < 1e-12
+    axis = xyz / np.where(small, 1.0, norm)[..., None]
+    return axis * theta[..., None]
 
 
 def compare_rotations_np(R1: np.ndarray, R2: np.ndarray) -> np.ndarray:

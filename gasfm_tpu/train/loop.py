@@ -1,0 +1,635 @@
+"""Training loop and controller.
+
+Parity: reference code/train.py (700 LoC):
+- ``epoch_train`` — per-batch loop: per-sample forward+loss, validity skip,
+  optional outlier injection, TB logging (loss, repro, LR, grad norm),
+  gradient clipping, Adam step, per-batch LR schedule (train.py:49-157).
+- ``epoch_evaluation`` — no-grad loop over scenes with per-scene OOM
+  tolerance and NaN dummy rows (train.py:170-259).
+- ``train`` — controller: warmup/exp/multistep schedules stepped per batch,
+  early stopping on the validation metric, best/final checkpoints, the
+  sequential view-increment curriculum for optimization phases, fine-tune
+  initial eval (train.py:372-700).
+
+TPU structure: the loss+grad step and forward are jitted once per graph
+bucket shape; scenes are padded to bucketed caps so the compile cache is
+reused across samples (SURVEY section 7.3 item 1).
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+import os
+from time import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+from gasfm_tpu.data.outliers import inject_outliers
+from gasfm_tpu.data.sampling import get_subset
+from gasfm_tpu.data.scene import SceneData
+from gasfm_tpu.eval.metrics import (
+    compute_core_errors,
+    compute_errors,
+    get_dummy_errors,
+    prepare_predictions,
+    unpad_predictions,
+)
+from gasfm_tpu.losses import get_loss_func
+from gasfm_tpu.train.state import build_optimizer, save_params
+from gasfm_tpu.utils import paths
+from gasfm_tpu.utils.observability import (
+    dump_predictions,
+    get_tb_writer,
+    tb_log_eval_step,
+    tb_log_train_step,
+)
+from gasfm_tpu.utils.paths import get_additional_identifiers_for_outlier_injection
+from gasfm_tpu.utils.phases import Phases
+
+
+def _is_oom_error(e: BaseException) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+
+class GraphBucketizer:
+    """SceneData -> SceneGraph with conf-driven bucketing (compile cache
+    reuse across samples; replaces the reference's per-sample graph rebuild,
+    SURVEY section 3.5)."""
+
+    def __init__(self, conf):
+        self.growth = conf.get_float("compile.edge_bucket_growth", default=1.3)
+        self.cam_multiple = conf.get_int("compile.view_bucket_multiple", default=8)
+        self.pt_multiple = conf.get_int("compile.point_bucket_multiple", default=256)
+
+    def __call__(self, data: SceneData):
+        return data.to_scene_graph(
+            cam_multiple=self.cam_multiple,
+            pt_multiple=self.pt_multiple,
+            growth=self.growth,
+        )
+
+
+class TrainingSession:
+    """Holds the jitted step functions for one (model, loss, optimizer)."""
+
+    def __init__(self, conf, model, milestone_shift: int = 0):
+        self.conf = conf
+        self.model = model
+        self.loss_func = get_loss_func(conf)
+        self.tx, self.schedule = build_optimizer(conf, milestone_shift=milestone_shift)
+        self.bucketize = GraphBucketizer(conf)
+
+        def _loss(params, scene):
+            pred = model.apply(params, scene.graph)
+            return self.loss_func(pred, scene), pred
+
+        self._grad_fn = jax.jit(jax.value_and_grad(_loss, has_aux=True))
+        self._fwd_fn = jax.jit(model.apply)
+
+        def _update(params, opt_state, grads):
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, grad_norm
+
+        self._update_fn = jax.jit(_update, donate_argnums=(0, 1))
+        self._acc_fn = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+    def loss_and_grads(self, params, scene):
+        (loss, pred), grads = self._grad_fn(params, scene)
+        return loss, pred, grads
+
+    def forward(self, params, scene):
+        return self._fwd_fn(params, scene.graph)
+
+    def accumulate(self, grads_a, grads_b):
+        return self._acc_fn(grads_a, grads_b)
+
+    def update(self, params, opt_state, grads):
+        return self._update_fn(params, opt_state, grads)
+
+
+# ---------------------------------------------------------------------------
+# Epoch train
+# ---------------------------------------------------------------------------
+
+
+def epoch_train(
+    conf,
+    session: TrainingSession,
+    train_loader,
+    params,
+    opt_state,
+    n_updates: int,
+    epoch: int,
+    phase: Phases,
+    tb_writer,
+    outlier_injection_rate: Optional[float] = None,
+    additional_identifiers: Optional[List[str]] = None,
+    scene: Optional[str] = None,
+    prev_n_batches: int = 0,
+    tb_log_train_per_scene: Optional[bool] = True,
+    rng: Optional[np.random.Generator] = None,
+):
+    """One epoch. Returns (params, opt_state, n_updates, mean_loss, losses, n_batches)."""
+    additional_identifiers = list(additional_identifiers or [])
+    view_head = conf.get_bool("model.view_head.enabled")
+    scenepoint_head = conf.get_bool("model.scenepoint_head.enabled")
+    explicit = view_head and scenepoint_head
+    calc_backproj = conf.get_bool("eval.calc_reprojerr_with_gtposes_for_depth_pred", default=False)
+
+    train_losses: List[float] = []
+    batch_idx = -1
+    for batch_idx, train_batch in enumerate(train_loader):
+        batch_loss = 0.0
+        batch_mean_repro = 0.0
+        batch_mean_repro_backproj = 0.0
+        grads_sum = None
+        curr_scene_name = scene
+        for curr_data in train_batch:
+            if not curr_data.is_valid_sample():
+                print(
+                    f"{epoch} {curr_data.scene_name} has a camera with not enough points "
+                    "or a point with not enough cameras"
+                )
+                continue
+            if outlier_injection_rate is not None:
+                curr_data_injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
+                if curr_data_injected is None:
+                    print(f"Failed outlier sampling for {curr_data.scene_name} - skipping training sample.")
+                    continue
+                model_data = curr_data_injected
+            else:
+                model_data = curr_data
+            curr_scene_name = curr_data.scene_name
+
+            scene_graph = session.bucketize(model_data)
+            loss, pred, grads = session.loss_and_grads(params, scene_graph)
+            loss_val = float(loss)
+            batch_loss += loss_val
+            train_losses.append(loss_val)
+            grads_sum = grads if grads_sum is None else session.accumulate(grads_sum, grads)
+
+            pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
+            core = compute_core_errors(curr_data, pred_np, conf)
+            if explicit:
+                batch_mean_repro += core["our_repro"]
+            if calc_backproj:
+                batch_mean_repro_backproj += core["repro_backproj_rnd_gt_2view"]
+
+        n = len(train_batch)
+        if explicit:
+            batch_mean_repro /= n
+        if calc_backproj:
+            batch_mean_repro_backproj /= n
+
+        step_idx = prev_n_batches + batch_idx
+        if tb_writer is not None:
+            log_scene = None if phase == Phases.TRAINING else curr_scene_name
+            tb_log_train_step(tb_writer, step_idx, "loss", batch_loss, phase,
+                              additional_identifiers, scene=log_scene)
+            if explicit:
+                tb_log_train_step(tb_writer, step_idx, "our_repro", batch_mean_repro, phase,
+                                  additional_identifiers, scene=log_scene)
+            if calc_backproj:
+                tb_log_train_step(tb_writer, step_idx, "repro_backproj_rnd_gt_2view",
+                                  batch_mean_repro_backproj, phase, additional_identifiers, scene=log_scene)
+            if phase == Phases.TRAINING and tb_log_train_per_scene and curr_scene_name is not None:
+                tb_log_train_step(tb_writer, step_idx, "loss", batch_loss, phase,
+                                  additional_identifiers, scene=curr_scene_name)
+            lr = float(session.schedule(n_updates))
+            tb_log_train_step(tb_writer, step_idx, "learning_rate", lr, phase,
+                              additional_identifiers, scene=log_scene)
+
+        if batch_loss > 0 and grads_sum is not None:
+            params, opt_state, grad_norm = session.update(params, opt_state, grads_sum)
+            if tb_writer is not None:
+                tb_log_train_step(tb_writer, step_idx, "grad_norm", float(grad_norm), phase,
+                                  additional_identifiers,
+                                  scene=None if phase == Phases.TRAINING else curr_scene_name)
+        n_updates += 1  # the reference steps the scheduler every batch
+
+    n_batches = batch_idx + 1
+    mean_loss = float(np.mean(train_losses)) if train_losses else float("nan")
+    return params, opt_state, n_updates, mean_loss, train_losses, n_batches
+
+
+# ---------------------------------------------------------------------------
+# Epoch evaluation
+# ---------------------------------------------------------------------------
+
+
+def eval_errors_list2df(errors_list: List[Dict]) -> pd.DataFrame:
+    """Parity: reference train.py:160-168."""
+    df = pd.DataFrame(errors_list)
+    df.set_index("Scene", inplace=True)
+    mean_errors = df.mean(axis=0, numeric_only=True).to_frame(name="Mean").T
+    mean_errors.index.name = "Scene"
+    df = pd.concat([df, mean_errors], axis=0)
+    print(df.round(3).to_string(), flush=True)
+    return df
+
+
+def aggregate_val_metric(validation_errors: pd.DataFrame, metric_column: str, scene: Optional[str] = None):
+    """Parity: reference train.py:262-269."""
+    assert isinstance(metric_column, str)
+    if scene is None:
+        scene = "Mean"
+    return validation_errors.loc[[scene], [metric_column]].values.item()
+
+
+def epoch_evaluation(
+    data_loader,
+    session: TrainingSession,
+    params,
+    conf,
+    epoch: Optional[int],
+    phase: Phases,
+    outlier_injection_rate: Optional[float] = None,
+    dump_and_plot_predictions: bool = False,
+    additional_identifiers: Optional[List[str]] = None,
+    bundle_adjustment: bool = True,
+    log_memory_consumption: bool = False,
+    crash_on_scene_exhausting_memory: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> pd.DataFrame:
+    """Parity: reference train.py:170-259."""
+    additional_identifiers = list(additional_identifiers or [])
+    view_head = conf.get_bool("model.view_head.enabled")
+    scenepoint_head = conf.get_bool("model.scenepoint_head.enabled")
+    explicit = view_head and scenepoint_head
+
+    errors_list = []
+    for j, batch_data in enumerate(data_loader):
+        if log_memory_consumption:
+            print(f"Scene batch {j + 1}/{len(data_loader)}.")
+        for curr_data in batch_data:
+            try:
+                if outlier_injection_rate is not None:
+                    injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
+                    assert injected is not None
+                    model_data = injected
+                else:
+                    model_data = curr_data
+                scene_graph = session.bucketize(model_data)
+                begin = time()
+                pred = session.forward(params, scene_graph)
+                jax.block_until_ready(pred)
+                pred_time = time() - begin
+
+                pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
+                outputs = prepare_predictions(curr_data, pred_np, conf, bundle_adjustment)
+                errors = compute_errors(outputs, conf, bundle_adjustment)
+                errors["Inference time"] = pred_time
+                errors["Scene"] = curr_data.scene_name
+
+                if epoch is None:
+                    errors.update(curr_data.get_data_statistics())
+
+                if dump_and_plot_predictions:
+                    out_clean = {k: v for k, v in outputs.items() if not isinstance(v, dict)}
+                    dump_predictions(conf, out_clean, curr_data.scene_name, phase, epoch=epoch,
+                                     additional_identifiers=additional_identifiers)
+                    if conf.get_bool("dataset.calibrated") and explicit:
+                        from gasfm_tpu.utils.plotting import plot_cameras_before_and_after_ba
+
+                        plot_cameras_before_and_after_ba(
+                            outputs, errors, conf, phase, scene=curr_data.scene_name,
+                            epoch=epoch, bundle_adjustment=bundle_adjustment,
+                            additional_identifiers=additional_identifiers,
+                        )
+            except Exception as e:  # noqa: BLE001 - OOM-tolerance parity
+                if not _is_oom_error(e):
+                    raise
+                if crash_on_scene_exhausting_memory:
+                    raise
+                print(f"Ran out of memory when evaluating on {curr_data.scene_name}.")
+                errors = get_dummy_errors(conf, bundle_adjustment)
+                errors["Inference time"] = float("nan")
+                errors["Scene"] = curr_data.scene_name
+
+            errors_list.append(errors)
+
+    return eval_errors_list2df(errors_list)
+
+
+# ---------------------------------------------------------------------------
+# Controller
+# ---------------------------------------------------------------------------
+
+
+def train(
+    conf,
+    train_loader,
+    model,
+    params,
+    phase: Phases,
+    train_loader_for_eval=None,
+    val_loader=None,
+    test_loader=None,
+    additional_identifier: Optional[str] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Parity: reference train.train (train.py:372-700).
+
+    Returns (trained_params: dict, train_stats: DataFrame).
+    """
+    additional_identifiers = [] if additional_identifier is None else [additional_identifier]
+    n_epochs = conf.get_int("train.n_epochs")
+    sequentially_increment_views = (
+        False if phase == Phases.TRAINING
+        else conf.get_bool("train.sequentially_increment_views", default=False)
+    )
+    outlier_injection_rate = conf.get_float("train.outlier_injection_rate", default=None)
+    print_interval = conf.get_int("train.print_interval", default=None)
+    eval_interval = conf.get_int("eval.eval_interval", default=500)
+    finetune_dump_model_interval = conf.get_int("train.finetune_dump_model_interval", default=None)
+    finetune_dump_and_plot_pred_interval = conf.get_int(
+        "train.finetune_dump_and_plot_pred_interval", default=None
+    )
+    stdout_log_eval_memory = conf.get_bool("memory.stdout_log_eval_memory_consumption", default=False)
+    depth_head = conf.get_bool("model.depth_head.enabled")
+    view_head = conf.get_bool("model.view_head.enabled")
+    scenepoint_head = conf.get_bool("model.scenepoint_head.enabled")
+    explicit = view_head and scenepoint_head
+    lr_warmup_n_steps = conf.get_int("train.lr_schedule.lr_warmup_n_steps", default=0)
+    if rng is None:
+        rng = np.random.default_rng(conf.get_int("random_seed", default=0))
+
+    tb_log_train_per_scene = conf.get_bool("train.tb_log_train_per_scene", default=False)
+    tb_log_val_per_scene = conf.get_bool("train.tb_log_val_per_scene", default=False)
+
+    milestone_shift = 0
+    n_epochs_sequential = 0
+    fullscene_data = None
+    if phase != Phases.TRAINING:
+        assert phase in (Phases.FINE_TUNE, Phases.SHORT_OPTIMIZATION, Phases.OPTIMIZATION)
+        if train_loader_for_eval is None:
+            train_loader_for_eval = train_loader
+        assert len(train_loader) == 1
+        the_batch = next(iter(train_loader))
+        assert len(the_batch) == 1
+        if sequentially_increment_views:
+            increment_views_interval = conf.get_int("train.increment_views_interval")
+            fullscene_data = the_batch[0]
+            total_n_views = fullscene_data.y.shape[0]
+            prev_n_views = None
+            curr_n_views = None
+            n_epochs_sequential = (total_n_views - 1) * increment_views_interval
+            n_epochs += n_epochs_sequential
+            milestone_shift = n_epochs_sequential
+
+    if phase == Phases.TRAINING:
+        if conf.get_bool("eval.eval_on_train_set", default=False):
+            assert train_loader_for_eval is not None
+        validation_metric = conf.get_string("train.validation_metric", default=None)
+        if validation_metric is None:
+            if explicit:
+                validation_metric = "our_repro"
+            elif depth_head:
+                validation_metric = "repro_backproj_rnd_gt_2view"
+    else:
+        validation_metric = None
+
+    assert (phase == Phases.TRAINING) == (val_loader is not None)
+    assert (phase == Phases.TRAINING) == (test_loader is not None)
+
+    tb_writer = get_tb_writer(conf)
+    session = TrainingSession(conf, model, milestone_shift=milestone_shift)
+    opt_state = session.tx.init(params)
+    n_updates = 0
+
+    best_validation_metric = math.inf
+    best_params = None
+    best_epoch = -1
+    converge_time = -1.0
+    final_validation_metric = float("nan")
+    begin_time = time()
+
+    run_ba = conf.get_bool("ba.run_ba", default=True)
+    ba_during_training = run_ba and not conf.get_bool("ba.only_last_eval")
+    outlier_ids = get_additional_identifiers_for_outlier_injection(outlier_injection_rate)
+
+    def run_evals(epoch: int, dump_and_plot: bool):
+        """Shared eval block for init and per-interval evaluation
+        (reference train.py:486-547 and 587-631)."""
+        nonlocal_result = {}
+        if phase == Phases.TRAINING:
+            validation_errors = epoch_evaluation(
+                val_loader, session, params, conf, epoch, Phases.VALIDATION,
+                outlier_injection_rate=outlier_injection_rate,
+                dump_and_plot_predictions=dump_and_plot,
+                additional_identifiers=additional_identifiers + outlier_ids,
+                bundle_adjustment=ba_during_training,
+                log_memory_consumption=stdout_log_eval_memory,
+                crash_on_scene_exhausting_memory=True,
+                rng=rng,
+            )
+            tb_log_eval_step(conf, tb_writer, epoch, validation_errors, phase=Phases.VALIDATION,
+                             additional_identifiers=additional_identifiers + outlier_ids,
+                             include_post_ba_metrics=ba_during_training)
+            if tb_log_val_per_scene:
+                for sc in conf.get_list("dataset.validation_set", default=[]):
+                    try:
+                        tb_log_eval_step(conf, tb_writer, epoch, validation_errors,
+                                         phase=Phases.VALIDATION,
+                                         additional_identifiers=additional_identifiers + outlier_ids,
+                                         scene=sc, include_post_ba_metrics=ba_during_training)
+                    except KeyError:
+                        pass
+            if outlier_injection_rate is not None:
+                validation_errors = epoch_evaluation(
+                    val_loader, session, params, conf, epoch, Phases.VALIDATION,
+                    outlier_injection_rate=None, dump_and_plot_predictions=dump_and_plot,
+                    additional_identifiers=additional_identifiers,
+                    bundle_adjustment=ba_during_training,
+                    log_memory_consumption=stdout_log_eval_memory,
+                    crash_on_scene_exhausting_memory=True, rng=rng,
+                )
+                tb_log_eval_step(conf, tb_writer, epoch, validation_errors, phase=Phases.VALIDATION,
+                                 additional_identifiers=additional_identifiers,
+                                 include_post_ba_metrics=ba_during_training)
+            if conf.get_bool("eval.eval_on_train_set", default=False):
+                train_errors = epoch_evaluation(
+                    train_loader_for_eval, session, params, conf, epoch, Phases.TRAINING,
+                    outlier_injection_rate=outlier_injection_rate,
+                    dump_and_plot_predictions=dump_and_plot,
+                    additional_identifiers=additional_identifiers + outlier_ids,
+                    bundle_adjustment=ba_during_training,
+                    log_memory_consumption=stdout_log_eval_memory,
+                    crash_on_scene_exhausting_memory=True, rng=rng,
+                )
+                tb_log_eval_step(conf, tb_writer, epoch, train_errors, phase=Phases.TRAINING,
+                                 additional_identifiers=additional_identifiers + outlier_ids,
+                                 include_post_ba_metrics=ba_during_training)
+            nonlocal_result["validation_errors"] = validation_errors
+        else:
+            scene = conf.get_string("dataset.scene")
+            train_errors = epoch_evaluation(
+                train_loader_for_eval, session, params, conf, epoch, phase,
+                outlier_injection_rate=outlier_injection_rate,
+                dump_and_plot_predictions=dump_and_plot,
+                additional_identifiers=additional_identifiers + outlier_ids,
+                bundle_adjustment=ba_during_training,
+                log_memory_consumption=stdout_log_eval_memory,
+                crash_on_scene_exhausting_memory=True, rng=rng,
+            )
+            tb_log_eval_step(conf, tb_writer, epoch, train_errors, phase=phase,
+                             additional_identifiers=additional_identifiers + outlier_ids,
+                             scene=scene, include_post_ba_metrics=ba_during_training)
+            if outlier_injection_rate is not None:
+                train_errors_of = epoch_evaluation(
+                    train_loader_for_eval, session, params, conf, epoch, phase,
+                    outlier_injection_rate=None, dump_and_plot_predictions=dump_and_plot,
+                    additional_identifiers=additional_identifiers,
+                    bundle_adjustment=ba_during_training,
+                    log_memory_consumption=stdout_log_eval_memory,
+                    crash_on_scene_exhausting_memory=True, rng=rng,
+                )
+                tb_log_eval_step(conf, tb_writer, epoch, train_errors_of, phase=phase,
+                                 additional_identifiers=additional_identifiers,
+                                 scene=scene, include_post_ba_metrics=ba_during_training)
+            nonlocal_result["validation_errors"] = train_errors
+        return nonlocal_result["validation_errors"]
+
+    # Initial evaluation (always before fine-tuning; reference train.py:486)
+    if conf.get_bool("eval.eval_init", default=False) or phase == Phases.FINE_TUNE:
+        epoch = -1
+        dump_and_plot = finetune_dump_and_plot_pred_interval is not None
+        validation_errors = run_evals(epoch, dump_and_plot)
+        if phase == Phases.TRAINING and validation_metric is not None:
+            metric = aggregate_val_metric(validation_errors, metric_column=validation_metric)
+            if metric < best_validation_metric:
+                best_validation_metric = metric
+                best_epoch = epoch
+                best_params = jax.tree_util.tree_map(np.asarray, params)
+                print(f"Updated best validation metric: {best_validation_metric}")
+                path = os.path.join(
+                    paths.path_to_models_dir(conf, phase, additional_identifiers=additional_identifiers),
+                    "best_model.npz",
+                )
+                save_params(path, params)
+        if finetune_dump_model_interval is not None:
+            path = os.path.join(
+                paths.path_to_models_dir(conf, phase, additional_identifiers=additional_identifiers),
+                f"model_epoch{epoch + 1:06d}.npz",
+            )
+            save_params(path, params)
+
+    total_n_batches = 0
+    n_epochs_post_warmup = None if lr_warmup_n_steps > 0 else 0
+    final_params = None
+    curr_train_loader = train_loader
+
+    for epoch in range(n_epochs):
+        if phase == Phases.TRAINING:
+            scene = None
+            curr_train_loader = train_loader
+        else:
+            scene = conf.get_string("dataset.scene")
+            if sequentially_increment_views:
+                prev_n_views = curr_n_views
+                curr_n_views = (
+                    2 + n_epochs_post_warmup // increment_views_interval
+                    if n_epochs_post_warmup is not None
+                    else 2
+                )
+                if curr_n_views >= total_n_views:
+                    curr_train_loader = train_loader
+                elif curr_n_views != prev_n_views:
+                    print(f"Updating #views: {prev_n_views} -> {curr_n_views}")
+                    subscene = get_subset(fullscene_data, curr_n_views)
+                    subscene_ds = ScenesDataSet([subscene], return_all=True)
+                    curr_train_loader = SceneLoader(subscene_ds, batch_size=1, shuffle=False)
+
+        params, opt_state, n_updates, mean_loss, _, n_batches = epoch_train(
+            conf, session, curr_train_loader, params, opt_state, n_updates, epoch, phase,
+            tb_writer, outlier_injection_rate=outlier_injection_rate,
+            additional_identifiers=additional_identifiers + outlier_ids,
+            scene=scene, prev_n_batches=total_n_batches,
+            tb_log_train_per_scene=tb_log_train_per_scene if phase == Phases.TRAINING else None,
+            rng=rng,
+        )
+        total_n_batches += n_batches
+
+        if n_epochs_post_warmup is not None:
+            n_epochs_post_warmup += 1
+        elif total_n_batches >= lr_warmup_n_steps:
+            n_epochs_post_warmup = 0
+
+        if print_interval is not None and epoch % print_interval == 0:
+            print(f"{epoch} Train Loss: {mean_loss}")
+
+        if (epoch + 1) % eval_interval == 0 or epoch == 0 or epoch == n_epochs - 1:
+            dump_and_plot = (
+                finetune_dump_and_plot_pred_interval is not None
+                and (epoch + 1) % finetune_dump_and_plot_pred_interval == 0
+            )
+            validation_errors = run_evals(epoch, dump_and_plot)
+
+            if epoch == n_epochs - 1:
+                final_params = jax.tree_util.tree_map(np.asarray, params)
+
+            if phase == Phases.TRAINING and validation_metric is not None:
+                metric = aggregate_val_metric(validation_errors, metric_column=validation_metric)
+                if epoch == n_epochs - 1:
+                    final_validation_metric = metric
+                if metric < best_validation_metric:
+                    converge_time = time() - begin_time
+                    best_validation_metric = metric
+                    best_epoch = epoch
+                    best_params = jax.tree_util.tree_map(np.asarray, params)
+                    print(
+                        f"Updated best validation metric: {best_validation_metric} "
+                        f"time so far: {converge_time}"
+                    )
+
+            if any([
+                finetune_dump_model_interval is not None
+                and (epoch + 1) % finetune_dump_model_interval == 0,
+                phase == Phases.TRAINING and validation_metric is not None and epoch == best_epoch,
+            ]):
+                path = os.path.join(
+                    paths.path_to_models_dir(conf, phase, additional_identifiers=additional_identifiers),
+                    f"model_epoch{epoch + 1:06d}.npz",
+                )
+                save_params(path, params)
+
+    if final_params is None:
+        final_params = jax.tree_util.tree_map(np.asarray, params)
+
+    trained_params = {"final_model": final_params}
+    models_dir = paths.path_to_models_dir(conf, phase, additional_identifiers=additional_identifiers)
+    save_params(os.path.join(models_dir, "final_model.npz"), final_params)
+
+    if phase == Phases.TRAINING and validation_metric is not None:
+        trained_params["best_model"] = best_params if best_params is not None else final_params
+        save_params(os.path.join(models_dir, "best_model.npz"), trained_params["best_model"])
+        train_stats = pd.DataFrame([{
+            "Convergence time": converge_time,
+            "best_epoch": best_epoch + 1,
+            "best_validation_metric": best_validation_metric,
+            "final_validation_metric": final_validation_metric,
+        }])
+    else:
+        train_stats = get_dummy_train_stats()
+
+    return trained_params, train_stats
+
+
+def get_dummy_train_stats() -> pd.DataFrame:
+    """Parity: reference train.py:693-700."""
+    return pd.DataFrame([{
+        "Convergence time": float("nan"),
+        "best_epoch": float("nan"),
+        "best_validation_metric": float("nan"),
+        "final_validation_metric": float("nan"),
+    }])

@@ -1,0 +1,130 @@
+"""Train state: optimizer construction and full-state checkpointing.
+
+Optimizer parity: reference torch.optim.Adam with default betas/(eps)
+(train.py:437) plus optional gradient clipping by global norm or value
+(train.py:141-149). Checkpointing goes beyond the reference (which saves
+model weights only, no resume — SURVEY section 5): full (params, opt_state,
+step) train-state checkpoints via orbax with mid-run resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import optax
+
+from gasfm_tpu.train.schedules import schedule_from_conf
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Any  # () int32
+
+
+def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTransformation, Callable]:
+    """Adam + per-batch LR schedule + optional grad clipping.
+
+    Returns (tx, schedule_fn). The clip order matches the reference: clip is
+    applied to raw gradients before the Adam update (train.py:141-151).
+    """
+    schedule = schedule_from_conf(conf, milestone_shift=milestone_shift)
+    chain = []
+    grad_clip_mode = conf.get_string("loss.grad_clip_mode", default=None)
+    if grad_clip_mode is not None:
+        grad_clip_th = conf.get_float("loss.grad_clip_th")
+        if grad_clip_mode == "norm":
+            chain.append(optax.clip_by_global_norm(grad_clip_th))
+        elif grad_clip_mode == "value":
+            chain.append(optax.clip(grad_clip_th))
+        else:
+            raise AssertionError(f'Could not interpret gradient clipping mode "{grad_clip_mode}".')
+    chain.append(
+        optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    )
+    return optax.chain(*chain), schedule
+
+
+def create_train_state(conf, params, milestone_shift: int = 0) -> Tuple[TrainState, optax.GradientTransformation, Callable]:
+    tx, schedule = build_optimizer(conf, milestone_shift=milestone_shift)
+    opt_state = tx.init(params)
+    import jax.numpy as jnp
+
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx, schedule
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.CheckpointManager(
+        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    ) as mgr:
+        step = int(state.step) if step is None else int(step)
+        mgr.save(step, args=ocp.args.StandardSave(dataclasses.asdict(state)))
+        mgr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        steps = mgr.all_steps()
+        if not steps:
+            return None
+        step = max(steps) if step is None else step
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(dataclasses.asdict(template))
+        )
+    return TrainState(**restored)
+
+
+def save_params(path: str, params) -> None:
+    """Flat npz weight dump (the analogue of the reference's .pt state_dict
+    saves, main.py/train.py best_model.pt / final_model.pt)."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for keypath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        arrays[key] = np.asarray(leaf)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, template) -> Any:
+    """Restore params saved by :func:`save_params` into the template's
+    structure, tolerating missing/unexpected head keys like the reference's
+    pretrained-weight loading (main.py:168-190)."""
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    missing = []
+    for keypath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        if key in data.files:
+            arr = data[key]
+            assert arr.shape == leaf.shape, f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}"
+            leaves.append(arr)
+        else:
+            missing.append(key)
+            leaves.append(leaf)
+    if missing:
+        print(f"[load_params] keeping init values for {len(missing)} missing keys (e.g. {missing[:3]})")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
