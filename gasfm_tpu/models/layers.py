@@ -289,12 +289,18 @@ class ViewAndScenePoint2Global(nn.Module):
         view_seg = jnp.where(cam_valid, 0, 1).astype(jnp.int32)
         pt_seg = jnp.where(pt_valid, 0, 1).astype(jnp.int32)
 
-        view_pooled = GATv2SegmentConv(v2g // self.n_heads, self.n_heads, name="graph_conv_view2global")(
-            view_features, view_seg, 1, query=q_view, edge_mask=cam_valid
-        )  # (1, v2g)
-        pt_pooled = GATv2SegmentConv(
-            s2g // self.n_heads, self.n_heads, name="graph_conv_scenepoint2global"
-        )(scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid)  # (1, s2g)
+        # These pools reduce over *replicated* per-view/per-point tables, so
+        # edge-axis collectives must be disabled (every edge shard computes
+        # the identical full reduction).
+        from gasfm_tpu.ops.segment import edge_replicated
+
+        with edge_replicated():
+            view_pooled = GATv2SegmentConv(
+                v2g // self.n_heads, self.n_heads, name="graph_conv_view2global"
+            )(view_features, view_seg, 1, query=q_view, edge_mask=cam_valid)  # (1, v2g)
+            pt_pooled = GATv2SegmentConv(
+                s2g // self.n_heads, self.n_heads, name="graph_conv_scenepoint2global"
+            )(scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid)  # (1, s2g)
 
         x = jnp.concatenate([view_pooled, pt_pooled], axis=1)
         if (v2g + s2g) != self.n_feat_global_out:

@@ -20,11 +20,67 @@ versions of the same contracts and are validated against these.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Edge-partitioned execution context
+#
+# When tracing inside a shard_map over an "edge" mesh axis, each device holds
+# a contiguous shard of the edge arrays while the per-view/per-point/global
+# tables are replicated. Setting the context makes every cross-edge reduction
+# in this module finish with the matching XLA collective (psum / pmax over
+# the edge axis), which is exactly the distributed-segment-softmax recipe of
+# SURVEY section 5 (partial max / exp-sum / weighted-sum triples combined
+# across chips over ICI).
+# ---------------------------------------------------------------------------
+
+_EDGE_AXIS: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
+    "gasfm_edge_axis", default=None
+)
+
+
+@contextlib.contextmanager
+def edge_partitioned(axis_name: str):
+    """Enable edge-axis collectives for reductions traced in this scope."""
+    token = _EDGE_AXIS.set(axis_name)
+    try:
+        yield
+    finally:
+        _EDGE_AXIS.reset(token)
+
+
+def current_edge_axis() -> Optional[str]:
+    return _EDGE_AXIS.get()
+
+
+@contextlib.contextmanager
+def edge_replicated():
+    """Temporarily disable edge-axis collectives: for reductions over
+    *replicated* per-view/per-point tables (e.g. the view->global and
+    point->global attention pools), where a psum would double-count by the
+    number of edge shards."""
+    token = _EDGE_AXIS.set(None)
+    try:
+        yield
+    finally:
+        _EDGE_AXIS.reset(token)
+
+
+def all_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum across the edge shards (identity outside edge-partitioned scope)."""
+    axis = _EDGE_AXIS.get()
+    return x if axis is None else jax.lax.psum(x, axis)
+
+
+def _all_max(x: jnp.ndarray) -> jnp.ndarray:
+    axis = _EDGE_AXIS.get()
+    return x if axis is None else jax.lax.pmax(x, axis)
 
 
 def _mask_data(data: jnp.ndarray, edge_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -43,9 +99,10 @@ def segment_sum(
 ) -> jnp.ndarray:
     """Sum of `data` rows per segment. Out-of-range ids are dropped."""
     data = _mask_data(data, edge_mask)
-    return jax.ops.segment_sum(
+    local = jax.ops.segment_sum(
         data, seg_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
+    return all_sum(local)
 
 
 def segment_count(
@@ -89,9 +146,10 @@ def segment_max(
     if edge_mask is not None:
         shape = edge_mask.shape + (1,) * (data.ndim - 1)
         data = jnp.where(edge_mask.reshape(shape), data, jnp.full_like(data, neutral))
-    return jax.ops.segment_max(
+    local = jax.ops.segment_max(
         data, seg_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
+    return _all_max(local)
 
 
 def segment_softmax(
@@ -106,7 +164,11 @@ def segment_softmax(
     logits: (E,) or (E, H). Returns weights of the same shape; padded edges
     get weight 0; edges of empty segments get 0.
     """
-    m = segment_max(logits, seg_ids, num_segments, edge_mask, indices_are_sorted)
+    # The max-shift cancels analytically in softmax, so stopping its gradient
+    # is exact (and pmax has no differentiation rule anyway).
+    m = segment_max(
+        jax.lax.stop_gradient(logits), seg_ids, num_segments, edge_mask, indices_are_sorted
+    )
     m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))  # empty segments
     shifted = logits - m[seg_ids.clip(0, num_segments - 1)]
     p = jnp.exp(shifted)
@@ -132,6 +194,6 @@ def masked_mean(data: jnp.ndarray, mask: jnp.ndarray, axis=0) -> jnp.ndarray:
     """Mean over `axis` counting only mask-true rows; 0 if none."""
     shape = mask.shape + (1,) * (data.ndim - mask.ndim)
     m = mask.reshape(shape).astype(data.dtype)
-    s = jnp.sum(data * m, axis=axis)
-    cnt = jnp.sum(m, axis=axis)
+    s = all_sum(jnp.sum(data * m, axis=axis))
+    cnt = all_sum(jnp.sum(m, axis=axis))
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.zeros_like(s))

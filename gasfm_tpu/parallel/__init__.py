@@ -1,0 +1,24 @@
+"""Parallel layer: device meshes, edge-partitioned sharded train/eval steps.
+
+The reference has no distributed execution (SURVEY section 2.7); this is the
+TPU-native scaling subsystem."""
+
+from gasfm_tpu.parallel.edge_sharding import (
+    DATA_AXIS,
+    EDGE_AXIS,
+    make_mesh,
+    make_sharded_forward,
+    make_sharded_train_step,
+    scene_graph_specs,
+    stack_scene_graphs,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "EDGE_AXIS",
+    "make_mesh",
+    "make_sharded_forward",
+    "make_sharded_train_step",
+    "scene_graph_specs",
+    "stack_scene_graphs",
+]
