@@ -1,0 +1,122 @@
+"""Benchmark: GASFM training-step throughput on one TPU chip.
+
+Measures steady-state jitted train-step time (forward + backward + Adam) of
+the flagship GASFM architecture (9 layers, widths 32/64/1024/2048, 4 heads —
+reference confs/gasfm/optim_euc_gasfm.conf) on a large synthetic scene, and
+reports edge throughput:
+
+    edges/s = valid_edges * steps / elapsed
+
+``vs_baseline`` is the fraction of a documented HBM-roofline estimate for
+the dominant per-edge data movement (see _roofline_edges_per_s below) — the
+BASELINE.md target is >= 0.70 of roofline.
+
+Prints ONE JSON line. Steps are batched inside a single jitted lax.scan so
+dispatch/tunnel latency does not pollute the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _roofline_edges_per_s(n_layers: int, d_proj: int, hbm_gbps: float) -> float:
+    """Crude HBM roofline for the edge-stream of one train step.
+
+    Per layer, the edge stream (E x d_proj f32) is read/written by: LN,
+    attention source transform + softmax + weighted sum (2 aggregations),
+    the fused 4-way edge update, and the residual — roughly 8 traversals
+    forward; backward roughly doubles it and adds recomputed activations
+    (x1.5). Everything else (view/point tables, MLPs) is small per edge.
+    """
+    bytes_per_edge_layer = d_proj * 4 * 8 * (1 + 2 * 1.5)
+    total_bytes_per_edge = bytes_per_edge_layer * n_layers
+    return hbm_gbps * 1e9 / total_bytes_per_edge
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_conf
+    from gasfm_tpu.data.synthetic import generate_synthetic_scene
+    from gasfm_tpu.losses import get_loss_func
+    from gasfm_tpu.models import get_model
+    from gasfm_tpu.train.state import build_optimizer
+
+    conf = _flagship_conf(small=False)
+    model = get_model(conf)
+    loss_func = get_loss_func(conf)
+    tx, _ = build_optimizer(conf)
+
+    # A large scene: ~46k valid edges (m=64 views, n=4096 points).
+    data = generate_synthetic_scene(n_views=64, n_points=4096, visibility=0.2, seed=0)
+    scene = data.to_scene_graph()
+    n_edges = int(scene.graph.e_true)
+
+    params = model.init(jax.random.PRNGKey(0), scene.graph)
+    opt_state = tx.init(params)
+
+    STEPS_PER_CALL = 10
+
+    def one_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            return loss_func(model.apply(p, scene.graph), scene)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n")
+    def run_steps(params, opt_state, n):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=n
+        )
+        # Returning a scalar and fetching it forces completion — on remote
+        # backends block_until_ready can return before execution finishes.
+        return params, opt_state, losses[-1]
+
+    # Warmup/compile both step counts.
+    n_small, n_large = 2, 2 + STEPS_PER_CALL
+    _, _, l0 = run_steps(params, opt_state, n_small)
+    float(l0)
+    _, _, l1 = run_steps(params, opt_state, n_large)
+    float(l1)
+
+    # Marginal cost: (time(n_large) - time(n_small)) / (n_large - n_small)
+    # cancels the per-call dispatch overhead of the tunneled runtime.
+    t_small, t_large = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_steps(params, opt_state, n_small)[2])
+        t_small.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run_steps(params, opt_state, n_large)[2])
+        t_large.append(time.perf_counter() - t0)
+    step_time = (min(t_large) - min(t_small)) / (n_large - n_small)
+    edges_per_s = n_edges / step_time
+
+    platform = jax.devices()[0].platform
+    # v5e: ~819 GB/s HBM. CPU fallback uses a nominal 100 GB/s.
+    hbm = 819.0 if platform != "cpu" else 100.0
+    roofline = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm)
+
+    print(json.dumps({
+        "metric": "gasfm_train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

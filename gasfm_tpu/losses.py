@@ -40,8 +40,13 @@ def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 
 def project_edges(Ps: jnp.ndarray, pts3D: jnp.ndarray, graph: ViewGraph) -> jnp.ndarray:
-    """Per-edge homogeneous projections: (E, 3) = P[cam_e] @ X[:, pt_e]."""
-    P_e = Ps[graph.cam_idx.clip(0, graph.num_cams - 1)]  # (E, 3, 4)
+    """Per-edge homogeneous projections: (E, 3) = P[cam_e] @ X[:, pt_e].
+
+    Gathers run on flat 2D tables — 3D gathers are ~10x slower on TPU.
+    """
+    M = graph.num_cams
+    P_flat = Ps.reshape(M, 12)
+    P_e = P_flat[graph.cam_idx.clip(0, M - 1)].reshape(-1, 3, 4)  # (E, 3, 4)
     X_e = pts3D.T[graph.pt_idx.clip(0, graph.num_pts - 1)]  # (E, 4)
     return jnp.einsum("eij,ej->ei", P_e, X_e)
 
