@@ -1,0 +1,129 @@
+"""Training-component tests: LR schedule parity with torch schedulers,
+optimizer construction, checkpoint save/restore round trips."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gasfm_tpu.config import ConfigFactory
+from gasfm_tpu.train.schedules import build_lr_schedule
+from gasfm_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    load_params,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
+
+
+def torch_lr_trace(base_lr, warmup, main, n_steps, **kw):
+    """The reference scheduler chain (train.py:437-472) stepped per batch."""
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base_lr)
+    if main == "constant":
+        lr_main = None
+    elif main == "exponential":
+        gamma = kw["exp_gamma_after_n_steps"] ** (1.0 / kw["exp_n_steps"])
+        lr_main = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=gamma)
+    elif main == "multistep":
+        lr_main = torch.optim.lr_scheduler.MultiStepLR(
+            opt, milestones=kw["milestones"], gamma=kw["gamma"]
+        )
+    warm = torch.optim.lr_scheduler.LinearLR(
+        opt, start_factor=1.0 / (warmup + 1), end_factor=1.0, total_iters=warmup
+    )
+    if lr_main is not None:
+        sched = torch.optim.lr_scheduler.SequentialLR(
+            opt, schedulers=[warm, lr_main], milestones=[warmup]
+        )
+    else:
+        sched = warm
+    out = []
+    for _ in range(n_steps):
+        out.append(sched.get_last_lr()[0])
+        opt.step()
+        sched.step()
+    return np.array(out)
+
+
+class TestSchedules:
+    def test_warmup_exponential_matches_torch(self):
+        kw = dict(exp_gamma_after_n_steps=0.1, exp_n_steps=100.0)
+        ref = torch_lr_trace(1e-3, 10, "exponential", 60, **kw)
+        sched = build_lr_schedule(1e-3, "exponential", lr_warmup_n_steps=10,
+                                  exp_gamma_after_n_steps=0.1, exp_n_steps=100.0)
+        ours = np.array([float(sched(t)) for t in range(60)])
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    def test_warmup_constant_matches_torch(self):
+        ref = torch_lr_trace(1e-3, 5, "constant", 20)
+        sched = build_lr_schedule(1e-3, "constant", lr_warmup_n_steps=5)
+        ours = np.array([float(sched(t)) for t in range(20)])
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    def test_warmup_multistep_matches_torch(self):
+        ref = torch_lr_trace(1e-2, 4, "multistep", 40, milestones=[10, 20], gamma=0.5)
+        sched = build_lr_schedule(1e-2, "multistep", lr_warmup_n_steps=4,
+                                  multistep_milestones=[10, 20], multistep_gamma=0.5)
+        ours = np.array([float(sched(t)) for t in range(40)])
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    def test_no_warmup(self):
+        sched = build_lr_schedule(1e-3, "constant", lr_warmup_n_steps=0)
+        assert float(sched(0)) == pytest.approx(1e-3)
+
+
+CONF = """
+train {
+  lr = 0.001
+  lr_schedule { lr_warmup_n_steps = 0, main_scheduler = "constant" }
+}
+loss { grad_clip_mode = null }
+"""
+
+
+class TestCheckpointing:
+    def _params(self):
+        k = jax.random.PRNGKey(0)
+        return {
+            "dense": {"kernel": jax.random.normal(k, (8, 4)), "bias": jnp.zeros(4)},
+            "scale": jnp.ones(3),
+        }
+
+    def test_full_state_roundtrip(self, tmp_path):
+        conf = ConfigFactory.parse_string(CONF)
+        params = self._params()
+        state, tx, _ = create_train_state(conf, params)
+        state = TrainState(params=state.params, opt_state=state.opt_state,
+                           step=jnp.asarray(17, jnp.int32))
+        ckpt_dir = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt_dir, state, keep=2)
+        template, _, _ = create_train_state(conf, self._params())
+        restored = restore_checkpoint(ckpt_dir, template)
+        assert restored is not None
+        assert int(restored.step) == 17
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_missing_dir_returns_none(self, tmp_path):
+        conf = ConfigFactory.parse_string(CONF)
+        template, _, _ = create_train_state(conf, self._params())
+        assert restore_checkpoint(str(tmp_path / "nope"), template) is None
+
+    def test_params_npz_roundtrip_with_missing_keys(self, tmp_path):
+        params = self._params()
+        path = str(tmp_path / "w.npz")
+        save_params(path, params)
+        # Template with an extra head: missing keys keep their init values
+        template = dict(params)
+        template["extra_head"] = {"kernel": jnp.full((2, 2), 7.0)}
+        out = load_params(path, template)
+        np.testing.assert_array_equal(np.asarray(out["dense"]["kernel"]),
+                                      np.asarray(params["dense"]["kernel"]))
+        np.testing.assert_array_equal(np.asarray(out["extra_head"]["kernel"]),
+                                      np.full((2, 2), 7.0))
