@@ -132,6 +132,11 @@ def optimization_all_test_scenes(conf, model, params, phase, additional_identifi
     test_scenes_list = conf.get_list("dataset.test_set")
 
     conf_test = conf.copy()
+    # Fine-tuning has no validation set, so no best-model tracking. (In the
+    # reference, a learning conf with train.validation_metric set would trip
+    # the 'best_model' assert in single_scene_optimization.py:31 during
+    # FINE_TUNE — latent upstream bug; cleared here per evident intent.)
+    conf_test.put("train.validation_metric", None)
     conf_test.put("train.n_epochs", finetune_n_epochs)
     conf_test.put("eval.eval_interval", finetune_eval_interval)
     conf_test.put("train.finetune_dump_model_interval", finetune_dump_model_interval)
