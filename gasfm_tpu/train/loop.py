@@ -404,6 +404,10 @@ def train(
 
     tb_writer = get_tb_writer(conf)
     session = TrainingSession(conf, model, milestone_shift=milestone_shift)
+    # Train a copy: the in-loop update donates its buffers, and the caller's
+    # params must stay intact (parity: the reference deep-copies the model,
+    # train.py:390).
+    params = jax.tree_util.tree_map(jnp.array, params)
     opt_state = session.tx.init(params)
     n_updates = 0
 
@@ -524,12 +528,39 @@ def train(
             )
             save_params(path, params)
 
+    # Full train-state checkpointing with mid-run resume — a capability the
+    # reference lacks (it saves model weights only; SURVEY section 5).
+    ckpt_enabled = conf.get_bool("checkpoint.enabled", default=False)
+    ckpt_interval = conf.get_int("checkpoint.interval", default=1000)
+    ckpt_keep = conf.get_int("checkpoint.keep", default=3)
+    ckpt_resume = conf.get_bool("checkpoint.resume", default=False)
+    start_epoch = 0
+    if ckpt_enabled:
+        from gasfm_tpu.train.state import TrainState, restore_checkpoint, save_checkpoint
+
+        ckpt_dir = os.path.join(
+            paths.path_to_models_dir(conf, phase, additional_identifiers=additional_identifiers),
+            "train_state",
+        )
+        if ckpt_resume:
+            template = TrainState(
+                params=params, opt_state=opt_state,
+                step=jnp.zeros((2,), jnp.int32),  # [next_epoch, n_updates]
+            )
+            restored = restore_checkpoint(ckpt_dir, template)
+            if restored is not None:
+                params = restored.params
+                opt_state = restored.opt_state
+                start_epoch = int(np.asarray(restored.step)[0])
+                n_updates = int(np.asarray(restored.step)[1])
+                print(f"[checkpoint] resumed at epoch {start_epoch} ({n_updates} updates)")
+
     total_n_batches = 0
     n_epochs_post_warmup = None if lr_warmup_n_steps > 0 else 0
     final_params = None
     curr_train_loader = train_loader
 
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         if phase == Phases.TRAINING:
             scene = None
             curr_train_loader = train_loader
@@ -567,6 +598,17 @@ def train(
 
         if print_interval is not None and epoch % print_interval == 0:
             print(f"{epoch} Train Loss: {mean_loss}")
+
+        if ckpt_enabled and (epoch + 1) % ckpt_interval == 0:
+            save_checkpoint(
+                ckpt_dir,
+                TrainState(
+                    params=params, opt_state=opt_state,
+                    step=jnp.asarray([epoch + 1, n_updates], jnp.int32),
+                ),
+                step=epoch + 1,
+                keep=ckpt_keep,
+            )
 
         if (epoch + 1) % eval_interval == 0 or epoch == 0 or epoch == n_epochs - 1:
             dump_and_plot = (

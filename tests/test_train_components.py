@@ -127,3 +127,52 @@ class TestCheckpointing:
                                       np.asarray(params["dense"]["kernel"]))
         np.testing.assert_array_equal(np.asarray(out["extra_head"]["kernel"]),
                                       np.full((2, 2), 7.0))
+
+
+class TestTrainLoopResume:
+    def test_checkpoint_resume_continues_training(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        import gasfm_tpu.utils.observability as obs
+
+        obs.reset_tb_writer()
+        import os
+
+        from gasfm_tpu.config import load_config
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.loaders import create_scene_data
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.loop import train
+        from gasfm_tpu.utils.phases import Phases
+
+        conf = load_config(os.path.join("synth", "optim_synth_dpesfm.conf"))
+        conf.put("exp_dir", "resume_test")
+        conf.put("train.n_epochs", 4)
+        conf.put("eval.eval_interval", 100)
+        conf.put("eval.eval_init", False)
+        conf.put("train.print_interval", None)
+        conf.put("checkpoint.enabled", True)
+        conf.put("checkpoint.interval", 2)
+        conf.put("checkpoint.resume", True)
+
+        data = create_scene_data(conf)
+        loader = SceneLoader(ScenesDataSet([data], return_all=True), batch_size=1, prefetch=0)
+        model = get_model(conf)
+        params = model.init(jax.random.PRNGKey(0), data.to_scene_graph().graph)
+
+        # First run: 4 epochs, checkpoints at 2 and 4.
+        trained1, _ = train(conf, loader, model, params, Phases.OPTIMIZATION)
+        ckpt_dir = os.path.join(
+            str(tmp_path), "resume_test", "OPTIMIZATION", data.scene_name, "models", "train_state"
+        )
+        assert os.path.isdir(ckpt_dir)
+
+        # Second run with more epochs resumes from epoch 4.
+        conf.put("train.n_epochs", 6)
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            trained2, _ = train(conf, loader, model, params, Phases.OPTIMIZATION)
+        assert "resumed at epoch 4" in buf.getvalue()
+        obs.reset_tb_writer()
