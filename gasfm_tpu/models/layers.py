@@ -693,3 +693,20 @@ class SetOfSetBlock(nn.Module):
                     x_skip = normalize_edge_features(x_skip, graph.edge_mask, None)
             xl = x_skip + xl
         return nn.relu(xl)
+
+
+class Parameter3DPts(nn.Module):
+    """Learnable bank of 3D points, normal-initialized with sigma=0.1.
+
+    Parity: reference ``Parameter3DPts`` (code/models/layers.py:47-57) —
+    unused by the shipped confs but part of the capability surface (direct
+    structure optimization without a scenepoint head).
+    """
+
+    n_pts: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "pts_3d", nn.initializers.normal(stddev=0.1), (3, self.n_pts)
+        )
