@@ -41,13 +41,14 @@ def unpad_predictions(pred: Dict[str, Any], data: SceneData, graph=None) -> Dict
     if "depths" in pred:
         depths_e = np.asarray(pred["depths"])
         if graph is not None:
-            e = int(graph.e_true)
+            # Valid edges are NOT a prefix in the blocked layout — mask.
+            emask = np.asarray(graph.edge_mask)
             dense = np.zeros((m, n), dtype=np.float64)
-            cam = np.asarray(graph.cam_idx)[:e]
-            pt = np.asarray(graph.pt_idx)[:e]
-            dense[cam, pt] = depths_e[:e]
+            cam = np.asarray(graph.cam_idx)[emask]
+            pt = np.asarray(graph.pt_idx)[emask]
+            dense[cam, pt] = depths_e[emask]
             out["depths_dense"] = dense
-            out["depths_edges"] = depths_e[:e].astype(np.float64)
+            out["depths_edges"] = depths_e[emask].astype(np.float64)
         else:
             out["depths_edges"] = depths_e.astype(np.float64)
     return out

@@ -14,12 +14,26 @@ train/eval steps are compiled once per bucket and reused across scenes and
 samples. Padded edges carry segment id == num_segments and are dropped by the
 segment reductions; padded views/points are masked.
 
-Conventions:
-- Edges are stored in row-major (camera-major) order — the same order a
-  coalesced COO of the measurement matrix produces in the reference — so
-  per-camera segment ids are sorted ascending. ``pt_order`` holds a
-  precomputed permutation that sorts edges by point id, giving sorted segment
-  ids for the per-point aggregations as well.
+Conventions (the *blocked point-major* edge layout):
+- Edges are sorted by (point id, camera id) and grouped into *point blocks*
+  of ``WINDOW`` consecutive point ids (block k owns points
+  [k*WINDOW, (k+1)*WINDOW)). Each block's edge run is padded with invalid
+  edges up to a multiple of ``CHUNK``, so every aligned chunk of ``CHUNK``
+  edges touches point ids from exactly one block window. This is what lets
+  the Pallas TPU kernels (gasfm_tpu/ops/pallas/segment_kernels.py) turn
+  every per-point segment reduction/gather into a windowed one-hot matmul
+  on the MXU with a statically known, scalar-prefetched output block —
+  XLA's generic row scatter/gather runs at ~3% of HBM bandwidth on TPU
+  (measured), the windowed MXU form is dense.
+- ``pt_window`` stores each edge's point-block index (constant within every
+  aligned chunk; trailing all-padding chunks repeat the last block id so the
+  per-chunk block sequence stays non-decreasing). ``pt_block_visited`` marks
+  blocks that own at least one valid edge (kernel outputs for unvisited
+  blocks are masked to the reduction's neutral value).
+- Per-camera segment ids are NOT sorted in this layout; camera-side
+  reductions use the dense one-hot kernels (few hundred cameras at most).
+- ``pt_order`` holds a permutation sorting edges by point id (it is nearly
+  the identity in this layout, differing only across padding runs).
 - ``uv`` holds the *normalized* (N-matrix-applied) 2D observations, i.e. the
   values of the reference's ``data.x`` SparseMat
   (reference: code/utils/dataset_utils.py:116-156 ``M2sparse(normalize=True)``).
@@ -38,8 +52,32 @@ import numpy as np
 from gasfm_tpu.utils.constants import MIN_N_POINTS_PER_VIEW, MIN_N_VIEWS_PER_POINT
 
 
+# Point-window width and edge-chunk length of the blocked layout. Must match
+# the Pallas kernel tile sizes (gasfm_tpu/ops/pallas/segment_kernels.py).
+WINDOW = 512
+CHUNK = 512
+
+
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+def blocked_edge_count(M: np.ndarray) -> int:
+    """Edge slots the blocked layout needs for measurement matrix ``M``
+    (valid edges plus per-point-block padding). Use this instead of the raw
+    nnz when pinning shared edge caps across scenes."""
+    from gasfm_tpu.geometry.np_geo import get_M_valid_points
+
+    valid = get_M_valid_points(np.asarray(M, dtype=np.float32))
+    _, cols = np.nonzero(valid)
+    if cols.size == 0:
+        return 0
+    _, counts = np.unique(cols // WINDOW, return_counts=True)
+    return int(_round_up_arr(counts, CHUNK).sum())
 
 
 def bucket_size(x: int, multiple: int, growth: float = 1.3) -> int:
@@ -66,6 +104,8 @@ class ViewGraph:
     pt_idx: jnp.ndarray  # (E,) int32 in [0, N); padded edges hold N
     edge_mask: jnp.ndarray  # (E,) bool
     pt_order: jnp.ndarray  # (E,) int32 permutation sorting edges by pt_idx
+    pt_window: jnp.ndarray  # (E,) int32 point-block index per edge
+    pt_block_visited: jnp.ndarray  # (ceil(N/WINDOW),) bool
 
     # Per-view / per-point masks, lengths M / N (capacities):
     cam_mask: jnp.ndarray  # (M,) bool — view exists
@@ -101,6 +141,19 @@ class ViewGraph:
         """(N,) observation count per point (reference SparseMat.cam_per_pts)."""
         ones = self.edge_mask.astype(jnp.int32)
         return jax.ops.segment_sum(ones, self.pt_idx, num_segments=self.num_pts)
+
+    def pt_segment_windows(self):
+        """Per-chunk point-window metadata enabling the windowed Pallas
+        kernels for point-side segment ops, or None if the edge capacity is
+        not chunk-aligned (tiny graphs fall back to the XLA path)."""
+        from gasfm_tpu.ops.segment import SegmentWindows
+
+        E = self.num_edges
+        if E % CHUNK != 0:
+            return None
+        wb = self.pt_window.reshape(E // CHUNK, CHUNK)[:, 0]
+        row_ok = jnp.repeat(self.pt_block_visited, WINDOW)[: self.num_pts]
+        return SegmentWindows(block=wb, row_ok=row_ok)
 
 
 @jax.tree_util.register_dataclass
@@ -141,24 +194,48 @@ def build_view_graph(
     rows, cols = np.nonzero(valid)  # row-major order
     e = rows.shape[0]
 
+    # Blocked point-major layout: sort edges by (point, camera), group into
+    # point blocks of WINDOW ids, pad each block's run to a CHUNK multiple.
+    order = np.lexsort((rows, cols))
+    rows, cols = rows[order], cols[order]
+    blk_of_edge = cols // WINDOW
+    blk_ids, blk_counts = np.unique(blk_of_edge, return_counts=True)
+    blk_padded = _round_up_arr(blk_counts, CHUNK)
+    e_blocked = int(blk_padded.sum()) if e > 0 else 0
+
     if caps is None:
         m_cap = bucket_size(m, cam_multiple, growth)
         n_cap = bucket_size(n, pt_multiple, growth)
-        e_cap = bucket_size(e, edge_multiple, growth)
+        e_cap = bucket_size(e_blocked, edge_multiple, growth)
     else:
         m_cap, n_cap, e_cap = caps
-        assert m_cap >= m and n_cap >= n and e_cap >= e, (
-            f"caps {caps} too small for scene with (m={m}, n={n}, e={e})"
+        assert m_cap >= m and n_cap >= n and e_cap >= e_blocked, (
+            f"caps {caps} too small for scene with (m={m}, n={n}, e={e}, "
+            f"e_blocked={e_blocked}); use blocked_edge_count() to size edge caps"
         )
 
+    n_blocks_cap = max(1, -(-n_cap // WINDOW))
+    last_blk = int(blk_ids[-1]) if e > 0 else 0
+
     uv = np.zeros((e_cap, 2), dtype=np.float32)
-    uv[:e] = norm_M[rows, cols]
     cam_idx = np.full((e_cap,), m_cap, dtype=np.int32)
-    cam_idx[:e] = rows
     pt_idx = np.full((e_cap,), n_cap, dtype=np.int32)
-    pt_idx[:e] = cols
     edge_mask = np.zeros((e_cap,), dtype=bool)
-    edge_mask[:e] = True
+    pt_window = np.full((e_cap,), last_blk, dtype=np.int32)
+    pt_block_visited = np.zeros((n_blocks_cap,), dtype=bool)
+
+    uv_vals = norm_M[rows, cols]
+    src, dst = 0, 0
+    for b, cnt, pad_cnt in zip(blk_ids, blk_counts, blk_padded):
+        cnt, pad_cnt = int(cnt), int(pad_cnt)
+        uv[dst : dst + cnt] = uv_vals[src : src + cnt]
+        cam_idx[dst : dst + cnt] = rows[src : src + cnt]
+        pt_idx[dst : dst + cnt] = cols[src : src + cnt]
+        edge_mask[dst : dst + cnt] = True
+        pt_window[dst : dst + pad_cnt] = b
+        pt_block_visited[b] = True
+        src += cnt
+        dst += pad_cnt
 
     pt_order = np.argsort(pt_idx, kind="stable").astype(np.int32)
 
@@ -180,6 +257,8 @@ def build_view_graph(
         pt_idx=jnp.asarray(pt_idx),
         edge_mask=jnp.asarray(edge_mask),
         pt_order=jnp.asarray(pt_order),
+        pt_window=jnp.asarray(pt_window),
+        pt_block_visited=jnp.asarray(pt_block_visited),
         cam_mask=jnp.asarray(cam_mask),
         pt_mask=jnp.asarray(pt_mask),
         cam_valid=jnp.asarray(cam_valid),

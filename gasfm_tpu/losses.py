@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gasfm_tpu.graph.view_graph import SceneGraph, ViewGraph
-from gasfm_tpu.ops.segment import all_sum
+from gasfm_tpu.ops.segment import all_sum, gather_segments
 
 
 def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -42,12 +42,17 @@ def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def project_edges(Ps: jnp.ndarray, pts3D: jnp.ndarray, graph: ViewGraph) -> jnp.ndarray:
     """Per-edge homogeneous projections: (E, 3) = P[cam_e] @ X[:, pt_e].
 
-    Gathers run on flat 2D tables — 3D gathers are ~10x slower on TPU.
+    Gathers run on flat 2D tables — 3D gathers are ~10x slower on TPU — and
+    route through :func:`gather_segments` so their *backward* scatter-adds
+    hit the Pallas one-hot kernels (padded edges project to 0 on the kernel
+    path; every consumer masks by edge validity).
     """
     M = graph.num_cams
     P_flat = Ps.reshape(M, 12)
-    P_e = P_flat[graph.cam_idx.clip(0, M - 1)].reshape(-1, 3, 4)  # (E, 3, 4)
-    X_e = pts3D.T[graph.pt_idx.clip(0, graph.num_pts - 1)]  # (E, 4)
+    P_e = gather_segments(P_flat, graph.cam_idx, M).reshape(-1, 3, 4)  # (E, 3, 4)
+    X_e = gather_segments(
+        pts3D.T, graph.pt_idx, graph.num_pts, window=graph.pt_segment_windows()
+    )  # (E, 4)
     return jnp.einsum("eij,ej->ei", P_e, X_e)
 
 

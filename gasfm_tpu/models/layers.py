@@ -143,6 +143,7 @@ class GATv2SegmentConv(nn.Module):
         query: Optional[jnp.ndarray] = None,  # (S, d_in); zeros if None
         edge_mask: Optional[jnp.ndarray] = None,
         indices_are_sorted: bool = False,
+        window=None,
     ) -> jnp.ndarray:
         H, C = self.heads, self.out_per_head
         glorot = nn.initializers.glorot_uniform()
@@ -160,7 +161,7 @@ class GATv2SegmentConv(nn.Module):
             xr = (query @ lin_r_k + lin_r_b).reshape(num_segments, H, C)
         out = gatv2_attend(
             xl, xr, att, seg_ids, num_segments,
-            edge_mask=edge_mask, indices_are_sorted=indices_are_sorted,
+            edge_mask=edge_mask, indices_are_sorted=indices_are_sorted, window=window,
         )
         return out.reshape(num_segments, H * C) + bias
 
@@ -214,6 +215,7 @@ class AxialAttentionAggregator(nn.Module):
         edge_mask: jnp.ndarray,
         prev: Optional[jnp.ndarray] = None,  # (S, out_feat) iff stateful
         indices_are_sorted: bool = False,
+        window=None,
     ) -> jnp.ndarray:
         assert self.stateful == (prev is not None)
         agg = self.agg_feat if self.agg_feat is not None else default_agg_width(self.in_feat, self.n_heads)
@@ -228,7 +230,7 @@ class AxialAttentionAggregator(nn.Module):
 
         x = GATv2SegmentConv(agg // self.n_heads, self.n_heads, name="graph_conv")(
             x_edges, seg_ids, num_segments, query=query, edge_mask=edge_mask,
-            indices_are_sorted=indices_are_sorted,
+            indices_are_sorted=indices_are_sorted, window=window,
         )
         if agg != self.out_feat:
             x = TorchDense(self.out_feat, name="proj_agg")(x)
@@ -403,7 +405,8 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             graph.num_pts,
             graph.edge_mask,
             prev=prev_scenepoint_features,
-            indices_are_sorted=False,
+            indices_are_sorted=True,  # blocked layout is point-major
+            window=graph.pt_segment_windows(),
         )
 
         view_features = AxialAttentionAggregator(
@@ -420,7 +423,7 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             graph.num_cams,
             graph.edge_mask,
             prev=prev_view_features,
-            indices_are_sorted=True,
+            indices_are_sorted=False,  # camera ids are unsorted in the blocked layout
         )
 
         global_features = None
@@ -494,7 +497,7 @@ class ProjectionFeatureUpdate(nn.Module):
 
         new = (
             pe
-            + gather_segments(ps, graph.pt_idx, graph.num_pts)
+            + gather_segments(ps, graph.pt_idx, graph.num_pts, window=graph.pt_segment_windows())
             + gather_segments(pv, graph.cam_idx, graph.num_cams)
             + pg
         ) / 4.0
@@ -633,11 +636,12 @@ class SetOfSetGlobalFeatureUpdate(nn.Module):
     @nn.compact
     def __call__(self, x_edges: jnp.ndarray, graph: ViewGraph):
         mean_colwise = segment_mean(
-            x_edges, graph.pt_idx, graph.num_pts, edge_mask=graph.edge_mask
+            x_edges, graph.pt_idx, graph.num_pts, edge_mask=graph.edge_mask,
+            indices_are_sorted=True, window=graph.pt_segment_windows(),
         )  # (N, d)
         scenepoint_features = TorchDense(self.d_out, name="lin_scenepoint")(mean_colwise)
         mean_rowwise = segment_mean(
-            x_edges, graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask, indices_are_sorted=True
+            x_edges, graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask
         )  # (M, d)
         view_features = TorchDense(self.d_out, name="lin_view")(mean_rowwise)
         if not self.output_global:
@@ -660,7 +664,7 @@ class SetOfSetLayer(nn.Module):
         pe = TorchDense(self.d_out, name="lin_proj")(x_edges)
         new = (
             pe
-            + gather_segments(s, graph.pt_idx, graph.num_pts)
+            + gather_segments(s, graph.pt_idx, graph.num_pts, window=graph.pt_segment_windows())
             + gather_segments(v, graph.cam_idx, graph.num_cams)
             + g
         ) / 4.0

@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gasfm_tpu.ops.segment import gather_segments, segment_max, segment_sum
+from gasfm_tpu.ops.segment import SegmentWindows, gather_segments, segment_max, segment_sum
 
 
 def gatv2_attend(
@@ -40,30 +40,33 @@ def gatv2_attend(
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
     negative_slope: float = 0.2,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     """Returns (S, H, C) attention-aggregated source features per segment."""
     E, H, C = xl.shape
     xl2 = xl.reshape(E, H * C)
     xr2 = xr.reshape(num_segments, H * C)
 
-    g2 = xl2 + gather_segments(xr2, seg_ids, num_segments)  # (E, H*C)
+    g2 = xl2 + gather_segments(xr2, seg_ids, num_segments, window=window)  # (E, H*C)
     g2 = jnp.where(g2 >= 0, g2, negative_slope * g2)  # LeakyReLU(0.2)
     logits = jnp.sum(g2.reshape(E, H, C) * att[None, :, :], axis=-1)  # (E, H)
 
     # Stable softmax: per-segment max (exactly zero-gradient; see
     # segment_softmax) computed on the narrow (E, H) array.
     m = segment_max(
-        jax.lax.stop_gradient(logits), seg_ids, num_segments, edge_mask, indices_are_sorted
+        jax.lax.stop_gradient(logits), seg_ids, num_segments, edge_mask,
+        indices_are_sorted, window=window,
     )
     m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
-    p = jnp.exp(logits - gather_segments(m, seg_ids, num_segments))  # (E, H)
+    m_e = jax.lax.stop_gradient(gather_segments(m, seg_ids, num_segments, window=window))
+    p = jnp.exp(logits - m_e)  # (E, H)
     if edge_mask is not None:
         p = jnp.where(edge_mask[:, None], p, jnp.zeros_like(p))
 
     # One fused wide segment-sum: [weighted features | softmax denominators].
     weighted = (p[:, :, None] * xl.reshape(E, H, C)).reshape(E, H * C)
     packed = jnp.concatenate([weighted, p], axis=1)  # (E, H*C + H)
-    sums = segment_sum(packed, seg_ids, num_segments, edge_mask, indices_are_sorted)
+    sums = segment_sum(packed, seg_ids, num_segments, edge_mask, indices_are_sorted, window=window)
     num = sums[:, : H * C].reshape(num_segments, H, C)
     den = sums[:, H * C :]  # (S, H)
     den = jnp.where(den > 0, den, jnp.ones_like(den))

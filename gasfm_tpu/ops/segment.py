@@ -22,11 +22,73 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+class SegmentWindows(NamedTuple):
+    """Per-chunk point-window metadata for the blocked edge layout
+    (gasfm_tpu/graph/view_graph.py): ``block`` is the (E // CHUNK,)
+    non-decreasing point-block index per aligned edge chunk; ``row_ok``
+    masks segments whose block is never visited (their kernel output is
+    undefined — XLA semantics demand the reduction's neutral value there)."""
+
+    block: jnp.ndarray  # (E // CHUNK,) int32
+    row_ok: Optional[jnp.ndarray]  # (num_segments,) bool or None
+
+
+# ---------------------------------------------------------------------------
+# Kernel dispatch
+#
+# XLA lowers row scatters on TPU to serialized loops (~30 GB/s measured on
+# the segment sums of this workload, vs ~800 GB/s HBM); the Pallas one-hot
+# matmul kernels in gasfm_tpu/ops/pallas/segment_kernels.py are the fast
+# path. Mode "auto" enables them on TPU backends for chunk-aligned f32
+# arrays; "interpret" forces the kernels through the Pallas interpreter on
+# any backend (used by tests to validate the dispatch path end-to-end);
+# "off" keeps pure XLA.
+# ---------------------------------------------------------------------------
+
+_KERNEL_MODE = os.environ.get("GASFM_KERNEL_MODE", "auto")
+_CHUNK = 512
+_DENSE_MAX_SEGMENTS = 1024  # camera-side tables; beyond this XLA wins
+
+
+def set_kernel_mode(mode: str) -> None:
+    assert mode in ("auto", "off", "interpret")
+    global _KERNEL_MODE
+    _KERNEL_MODE = mode
+
+
+def get_kernel_mode() -> str:
+    return _KERNEL_MODE
+
+
+def _kernels_enabled() -> bool:
+    if _KERNEL_MODE == "off":
+        return False
+    if _KERNEL_MODE == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _kernel_interpret() -> bool:
+    return _KERNEL_MODE == "interpret"
+
+
+def _kernel_eligible(data: jnp.ndarray, seg_ids: jnp.ndarray) -> bool:
+    return (
+        _kernels_enabled()
+        and data.ndim == 2
+        and data.dtype == jnp.float32
+        and data.shape[0] == seg_ids.shape[0]
+        and data.shape[0] % _CHUNK == 0
+        and data.shape[1] >= 1
+    )
 
 # ---------------------------------------------------------------------------
 # Edge-partitioned execution context
@@ -96,13 +158,37 @@ def segment_sum(
     num_segments: int,
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     """Sum of `data` rows per segment. Out-of-range ids are dropped."""
     data = _mask_data(data, edge_mask)
-    local = jax.ops.segment_sum(
+    local = _dispatch_segment_sum(data, seg_ids, num_segments, indices_are_sorted, window)
+    return all_sum(local)
+
+
+def _dispatch_segment_sum(data, seg_ids, num_segments, indices_are_sorted, window):
+    squeeze = data.ndim == 1
+    lifted = data[:, None] if squeeze else data
+    if _kernel_eligible(lifted, seg_ids):
+        from gasfm_tpu.ops.pallas.segment_kernels import (
+            segment_sum_kernel,
+            windowed_segment_sum,
+        )
+
+        ids2d = seg_ids.astype(jnp.int32)[:, None]
+        if window is not None:
+            out = windowed_segment_sum(
+                lifted, ids2d, window.block, num_segments, _kernel_interpret()
+            )
+            if window.row_ok is not None:
+                out = jnp.where(window.row_ok[:, None], out, 0.0)
+            return out[:, 0] if squeeze else out
+        if num_segments <= _DENSE_MAX_SEGMENTS:
+            out = segment_sum_kernel(lifted, ids2d, num_segments, _kernel_interpret())
+            return out[:, 0] if squeeze else out
+    return jax.ops.segment_sum(
         data, seg_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
-    return all_sum(local)
 
 
 def segment_count(
@@ -111,9 +197,10 @@ def segment_count(
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
     dtype=jnp.float32,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     ones = jnp.ones(seg_ids.shape, dtype=dtype)
-    return segment_sum(ones, seg_ids, num_segments, edge_mask, indices_are_sorted)
+    return segment_sum(ones, seg_ids, num_segments, edge_mask, indices_are_sorted, window)
 
 
 def segment_mean(
@@ -122,14 +209,17 @@ def segment_mean(
     num_segments: int,
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     """Empty-aware mean: empty segments yield 0.
 
     Parity: reference ``sparse_mean`` (code/utils/sparse_utils.py:91-131)
     whose sparse result densifies to 0 at empty rows/columns.
     """
-    s = segment_sum(data, seg_ids, num_segments, edge_mask, indices_are_sorted)
-    cnt = segment_count(seg_ids, num_segments, edge_mask, indices_are_sorted, dtype=s.dtype)
+    s = segment_sum(data, seg_ids, num_segments, edge_mask, indices_are_sorted, window)
+    cnt = segment_count(
+        seg_ids, num_segments, edge_mask, indices_are_sorted, dtype=s.dtype, window=window
+    )
     cnt = cnt.reshape(cnt.shape + (1,) * (s.ndim - 1))
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.zeros_like(s))
 
@@ -141,15 +231,45 @@ def segment_max(
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
     neutral: float = -jnp.inf,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     """Max per segment; empty segments yield `neutral`."""
     if edge_mask is not None:
         shape = edge_mask.shape + (1,) * (data.ndim - 1)
         data = jnp.where(edge_mask.reshape(shape), data, jnp.full_like(data, neutral))
-    local = jax.ops.segment_max(
+    local = _dispatch_segment_max(data, seg_ids, num_segments, indices_are_sorted, neutral, window)
+    return _all_max(local)
+
+
+def _dispatch_segment_max(data, seg_ids, num_segments, indices_are_sorted, neutral, window):
+    squeeze = data.ndim == 1
+    lifted = data[:, None] if squeeze else data
+    # The kernels' neutral must be finite (-inf breaks the max tree in VMEM
+    # padding lanes); -1e30 densifies back to the caller's neutral below.
+    if _kernel_eligible(lifted, seg_ids) and lifted.shape[1] <= 8:
+        from gasfm_tpu.ops.pallas.segment_kernels import (
+            segment_max_kernel,
+            windowed_segment_max,
+        )
+
+        ids2d = seg_ids.astype(jnp.int32)[:, None]
+        finite_data = jnp.maximum(lifted, -1e30)
+        if window is not None:
+            out = windowed_segment_max(
+                finite_data, ids2d, window.block, num_segments, -1e30, _kernel_interpret()
+            )
+            if window.row_ok is not None:
+                out = jnp.where(window.row_ok[:, None], out, -1e30)
+        elif num_segments <= _DENSE_MAX_SEGMENTS:
+            out = segment_max_kernel(finite_data, ids2d, num_segments, -1e30, _kernel_interpret())
+        else:
+            out = None
+        if out is not None:
+            out = jnp.where(out <= -1e30, neutral, out)
+            return out[:, 0] if squeeze else out
+    return jax.ops.segment_max(
         data, seg_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
-    return _all_max(local)
 
 
 def segment_softmax(
@@ -158,6 +278,7 @@ def segment_softmax(
     num_segments: int,
     edge_mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    window: Optional[SegmentWindows] = None,
 ) -> jnp.ndarray:
     """Numerically-stable softmax over each segment of per-edge logits.
 
@@ -167,16 +288,19 @@ def segment_softmax(
     # The max-shift cancels analytically in softmax, so stopping its gradient
     # is exact (and pmax has no differentiation rule anyway).
     m = segment_max(
-        jax.lax.stop_gradient(logits), seg_ids, num_segments, edge_mask, indices_are_sorted
+        jax.lax.stop_gradient(logits), seg_ids, num_segments, edge_mask,
+        indices_are_sorted, window=window,
     )
     m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))  # empty segments
-    shifted = logits - m[seg_ids.clip(0, num_segments - 1)]
+    shifted = logits - jax.lax.stop_gradient(
+        gather_segments(m, seg_ids, num_segments, window=window)
+    )
     p = jnp.exp(shifted)
     if edge_mask is not None:
         shape = edge_mask.shape + (1,) * (p.ndim - 1)
         p = jnp.where(edge_mask.reshape(shape), p, jnp.zeros_like(p))
-    denom = segment_sum(p, seg_ids, num_segments, None, indices_are_sorted)
-    denom_g = denom[seg_ids.clip(0, num_segments - 1)]
+    denom = segment_sum(p, seg_ids, num_segments, None, indices_are_sorted, window=window)
+    denom_g = gather_segments(denom, seg_ids, num_segments, window=window)
     w = jnp.where(denom_g > 0, p / jnp.maximum(denom_g, 1e-38), jnp.zeros_like(p))
     if edge_mask is not None:
         shape = edge_mask.shape + (1,) * (w.ndim - 1)
@@ -184,9 +308,39 @@ def segment_softmax(
     return w
 
 
-def gather_segments(table: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Broadcast per-segment rows back to edges; padded ids clip harmlessly
-    (consumers must mask)."""
+def gather_segments(
+    table: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    num_segments: int,
+    window: Optional[SegmentWindows] = None,
+) -> jnp.ndarray:
+    """Broadcast per-segment rows back to edges. On the XLA path padded ids
+    clip to the last row; on the kernel path they yield zero rows — consumers
+    must mask either way.
+
+    The kernel path matters for the *backward* pass: the VJP of an XLA
+    gather is a row scatter-add (~30 GB/s on TPU); the Pallas pairs
+    (windowed / dense one-hot) keep both directions on the MXU."""
+    squeeze = table.ndim == 1
+    lifted = table[:, None] if squeeze else table
+    if (
+        _kernels_enabled()
+        and lifted.ndim == 2
+        and lifted.dtype == jnp.float32
+        and seg_ids.shape[0] % _CHUNK == 0
+    ):
+        from gasfm_tpu.ops.pallas.segment_kernels import (
+            gather_rows_kernel,
+            windowed_gather,
+        )
+
+        ids2d = seg_ids.astype(jnp.int32)[:, None]
+        if window is not None:
+            out = windowed_gather(lifted, ids2d, window.block, _kernel_interpret())
+            return out[:, 0] if squeeze else out
+        if num_segments <= _DENSE_MAX_SEGMENTS:
+            out = gather_rows_kernel(lifted, ids2d, _kernel_interpret())
+            return out[:, 0] if squeeze else out
     return table[seg_ids.clip(0, num_segments - 1)]
 
 

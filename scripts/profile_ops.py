@@ -12,6 +12,9 @@ from __future__ import annotations
 import time
 from functools import partial
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,20 +83,27 @@ def main():
                                                indices_are_sorted=True)[pt_ids], logits + 0 * 1.0)
            if True else 0, E * H * 4 * 2)
 
-    # --- gather only ---
-    report("gather 4096->E d36", timed(lambda t: t[pt_ids] * 1.000001, table_pt),
-           E * d * 4 * 2)
+    # --- gather only (carry must keep table shape: reduce back via slice-add) ---
+    report("gather 4096->E d36 (+Esum)",
+           timed(lambda t: t * (1.0 + 1e-12 * jnp.sum(t[pt_ids])), table_pt), E * d * 4 * 2)
 
     # --- pallas one-hot kernels ---
     from gasfm_tpu.ops.pallas.segment_kernels import (
         gather_rows_kernel, segment_sum_kernel,
     )
     ids2d_pt = pt_ids[:, None]
-    report("pallas segsum E->4096 d36",
-           timed(lambda x: gather_rows_kernel(segment_sum_kernel(x, ids2d_pt, S_pt), ids2d_pt),
-                 data), E * d * 4 * 2)
-    report("pallas gather 4096->E d36",
-           timed(lambda t: gather_rows_kernel(t, ids2d_pt) * 1.0 + 0.0, table_pt) , E * d * 4 * 2)
+    report("pallas segsum E->4096 d36 (+gather)",
+           timed(lambda x: x + 1e-12 * gather_rows_kernel(
+               segment_sum_kernel(x, ids2d_pt, S_pt), ids2d_pt), data),
+           E * d * 4 * 2)
+    report("pallas gather 4096->E d36 (+Esum)",
+           timed(lambda t: t * (1.0 + 1e-12 * jnp.sum(gather_rows_kernel(t, ids2d_pt))), table_pt),
+           E * d * 4 * 2)
+    ids2d_cam = cam_ids[:, None]
+    report("pallas segsum E->64 d36 (+gather)",
+           timed(lambda x: x + 1e-12 * gather_rows_kernel(
+               segment_sum_kernel(x, ids2d_cam, S_cam), ids2d_cam), data),
+           E * d * 4 * 2)
 
     # --- gatv2_attend (full attention core), fwd and grad ---
     from gasfm_tpu.ops.gatv2 import gatv2_attend

@@ -31,20 +31,48 @@ class TestBuild:
         rows, cols = np.nonzero(valid)
         e = len(rows)
         assert int(graph.e_true) == e
-        np.testing.assert_array_equal(np.asarray(graph.cam_idx)[:e], rows)
-        np.testing.assert_array_equal(np.asarray(graph.pt_idx)[:e], cols)
-        assert np.asarray(graph.edge_mask)[:e].all()
-        assert not np.asarray(graph.edge_mask)[e:].any()
+        emask = np.asarray(graph.edge_mask)
+        assert emask.sum() == e
+        # Valid edges are exactly the valid (cam, pt) pairs (blocked layout
+        # permutes them point-major; compare as sorted pair sets).
+        got = np.stack([np.asarray(graph.cam_idx)[emask], np.asarray(graph.pt_idx)[emask]], 1)
+        want = np.stack([rows, cols], 1)
+        got = got[np.lexsort((got[:, 1], got[:, 0]))]
+        want = want[np.lexsort((want[:, 1], want[:, 0]))]
+        np.testing.assert_array_equal(got, want)
         # Padded edges carry out-of-range (trash) segment ids
-        assert (np.asarray(graph.cam_idx)[e:] == graph.num_cams).all()
-        assert (np.asarray(graph.pt_idx)[e:] == graph.num_pts).all()
+        assert (np.asarray(graph.cam_idx)[~emask] == graph.num_cams).all()
+        assert (np.asarray(graph.pt_idx)[~emask] == graph.num_pts).all()
+
+    def test_blocked_layout_invariants(self):
+        from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+        _, graph = make_graph(seed=11, n_views=9, n_points=700)
+        E = graph.num_edges
+        assert E % CHUNK == 0
+        emask = np.asarray(graph.edge_mask)
+        pt = np.asarray(graph.pt_idx)
+        wb = np.asarray(graph.pt_window)
+        # pt_window constant within each aligned chunk and non-decreasing
+        wb_chunks = wb.reshape(E // CHUNK, CHUNK)
+        assert (wb_chunks == wb_chunks[:, :1]).all()
+        assert (np.diff(wb_chunks[:, 0]) >= 0).all()
+        # every valid edge's point id lies in its chunk's window
+        lo = wb * WINDOW
+        assert (pt[emask] >= lo[emask]).all() and (pt[emask] < lo[emask] + WINDOW).all()
+        # visited blocks are exactly those owning a valid edge
+        visited = np.asarray(graph.pt_block_visited)
+        has_edge = np.zeros_like(visited)
+        for b in np.unique(pt[emask] // WINDOW):
+            has_edge[b] = True
+        np.testing.assert_array_equal(visited, has_edge)
 
     def test_uv_values_are_normalized_points(self):
         data, graph = make_graph(seed=1)
-        valid = get_M_valid_points(data.M)
-        rows, cols = np.nonzero(valid)
+        emask = np.asarray(graph.edge_mask)
+        cam = np.asarray(graph.cam_idx)[emask]
+        pt = np.asarray(graph.pt_idx)[emask]
         np.testing.assert_allclose(
-            np.asarray(graph.uv)[: len(rows)], data.norm_M[rows, cols], atol=1e-6
+            np.asarray(graph.uv)[emask], data.norm_M[cam, pt], atol=1e-6
         )
 
     def test_degrees(self):
@@ -79,17 +107,15 @@ class TestSegmentOps:
         valid = get_M_valid_points(data.M)
         m, n = valid.shape
         rng = np.random.default_rng(0)
-        e = int(graph.e_true)
         feats = rng.normal(size=(graph.num_edges, 5)).astype(np.float32)
 
         # Dense oracle: mean over valid entries per row / per column
+        emask = np.asarray(graph.edge_mask)
         dense = np.zeros((m, n, 5), dtype=np.float32)
-        rows, cols = np.nonzero(valid)
-        dense[rows, cols] = feats[:e]
+        dense[np.asarray(graph.cam_idx)[emask], np.asarray(graph.pt_idx)[emask]] = feats[emask]
 
         per_cam = segment_mean(
-            jnp.asarray(feats), graph.cam_idx, graph.num_cams,
-            edge_mask=graph.edge_mask, indices_are_sorted=True,
+            jnp.asarray(feats), graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask,
         )
         expected_cam = np.where(
             valid.sum(1, keepdims=True) > 0,
@@ -110,9 +136,8 @@ class TestSegmentOps:
 
     def test_padded_edges_do_not_contribute(self):
         _, graph = make_graph(seed=5)
-        e = int(graph.e_true)
         feats = np.full((graph.num_edges, 3), 7.0, dtype=np.float32)
-        feats[e:] = 1e9  # poison padding
+        feats[~np.asarray(graph.edge_mask)] = 1e9  # poison padding
         s = segment_sum(jnp.asarray(feats), graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask)
         assert np.isfinite(np.asarray(s)).all()
         assert (np.asarray(s) < 1e8).all()
@@ -126,20 +151,19 @@ class TestSegmentOps:
         m = int(graph.m_true)
         np.testing.assert_allclose(np.asarray(sums)[:m], 1.0, atol=1e-5)
         # padding edges get zero weight
-        e = int(graph.e_true)
-        assert (np.asarray(w)[e:] == 0).all()
+        assert (np.asarray(w)[~np.asarray(graph.edge_mask)] == 0).all()
 
     def test_segment_softmax_matches_dense_softmax(self):
         _, graph = make_graph(seed=7)
         rng = np.random.default_rng(2)
-        e = int(graph.e_true)
         logits = rng.normal(size=(graph.num_edges,)).astype(np.float32)
         w = np.asarray(
             segment_softmax(jnp.asarray(logits), graph.cam_idx, graph.num_cams, edge_mask=graph.edge_mask)
         )
-        cam = np.asarray(graph.cam_idx)[:e]
-        for c in np.unique(cam):
-            idx = np.nonzero(cam == c)[0]
+        emask = np.asarray(graph.edge_mask)
+        cam = np.asarray(graph.cam_idx)
+        for c in np.unique(cam[emask]):
+            idx = np.nonzero((cam == c) & emask)[0]
             ref = np.exp(logits[idx] - logits[idx].max())
             ref = ref / ref.sum()
             np.testing.assert_allclose(w[idx], ref, atol=1e-5)

@@ -170,9 +170,9 @@ class TestGradEqualization:
             return jnp.sum(per_edge * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
         g = np.asarray(jax.grad(f)(proj0))
-        e = int(graph.e_true)
-        pos = np.asarray(proj0[:, 2] >= loss_fn.infinity_pts_margin)[:e]
-        mags = np.linalg.norm(g[:e][pos], axis=1)
+        emask = np.asarray(graph.edge_mask)
+        pos = np.asarray(proj0[:, 2] >= loss_fn.infinity_pts_margin) & emask
+        mags = np.linalg.norm(g[pos], axis=1)
         count = pos.sum()
         nonzero = mags > 1e-12
         np.testing.assert_allclose(mags[nonzero], 1.0 / count, rtol=1e-4)

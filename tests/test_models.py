@@ -173,4 +173,4 @@ class TestDepthHead:
         _, graph = scene_and_graph(seed=6)
         params, pred = init_and_run(model, graph)
         assert pred["depths"].shape == (graph.num_edges,)
-        assert np.isfinite(np.asarray(pred["depths"])[: int(graph.e_true)]).all()
+        assert np.isfinite(np.asarray(pred["depths"])[np.asarray(graph.edge_mask)]).all()
