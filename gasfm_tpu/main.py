@@ -40,13 +40,34 @@ def parse_args(argv=None):
     msl.add_argument("--old-exp-dir", "--old_exp_dir", type=str, default=None)
     msl.add_argument("--pretrained-model-filename", "--pretrained_model_filename", type=str, default=None)
     msl.add_argument("--skip-training", "--skip_training", action="store_true", default=False)
+    msl.add_argument("--skip-fine-tuning", "--skip_fine_tuning", action="store_true", default=False)
+    msl.add_argument(
+        "--skip-fine-tuning-from-best", "--skip_fine_tuning_from_best",
+        action="store_true", default=False,
+    )
+    msl.add_argument(
+        "--skip-fine-tuning-from-final", "--skip_fine_tuning_from_final",
+        action="store_true", default=False,
+    )
+    msl.add_argument("--skip-short-optim", "--skip_short_optim", action="store_true", default=False)
 
     for p in (sso, msl):
         p.add_argument("--conf", type=str, required=True)
         p.add_argument("--exp-dir", "--exp_dir", type=str, default=None)
+        p.add_argument("--overwrite-exp", "--overwrite_exp", action="store_true", default=False)
         p.add_argument("--external-params", "--external_params", type=str, nargs="*", default=[])
         p.add_argument("--pretrained-model-path", "--pretrained_model_path", type=str, default=None)
-        p.add_argument("--count-model-params-and-die", action="store_true", default=False)
+        # Reference --gpu-not-required (main.py:50): permits accelerator-free
+        # init for dry runs; here CPU-backed JAX is always functional, so the
+        # flag is accepted for CLI compatibility and ignored.
+        p.add_argument(
+            "--accelerator-not-required", "--gpu-not-required", "--gpu_not_required",
+            action="store_true", default=False,
+        )
+        p.add_argument(
+            "--count-model-params-and-die", "--count_model_params_and_die",
+            action="store_true", default=False,
+        )
 
     return parser.parse_args(argv)
 
@@ -119,6 +140,16 @@ def main(argv=None):
     if args.count_model_params_and_die:
         return 0
 
+    # Optionally wipe an existing experiment dir (parity: main.py:154-157).
+    if getattr(args, "overwrite_exp", False):
+        import shutil
+
+        from gasfm_tpu.utils.paths import path_to_exp
+
+        exp_path = path_to_exp(conf, create=False)
+        if os.path.exists(exp_path):
+            shutil.rmtree(exp_path)
+
     log_code(conf)
 
     if args.mode == "single_scene_optim":
@@ -137,15 +168,23 @@ def main(argv=None):
 
         # Fine-tune each test scene from the trained weights
         # (parity: main.py:224-229).
-        optimization_all_test_scenes(conf, model, trained["final_model"], Phases.FINE_TUNE,
-                                     additional_identifier="from_final", rng=rng)
-        if "best_model" in trained:
+        skip_ft = getattr(args, "skip_fine_tuning", False)
+        if not skip_ft and not getattr(args, "skip_fine_tuning_from_final", False):
+            optimization_all_test_scenes(conf, model, trained["final_model"], Phases.FINE_TUNE,
+                                         additional_identifier="from_final", rng=rng)
+        if (
+            "best_model" in trained
+            and not skip_ft
+            and not getattr(args, "skip_fine_tuning_from_best", False)
+        ):
             optimization_all_test_scenes(conf, model, trained["best_model"], Phases.FINE_TUNE,
                                          additional_identifier="from_best", rng=rng)
 
         # Short optimization from fresh weights (parity: main.py:237-240).
-        _, fresh_params, _ = init_model(conf)
-        optimization_all_test_scenes(conf, model, fresh_params, Phases.SHORT_OPTIMIZATION, rng=rng)
+        if not getattr(args, "skip_short_optim", False):
+            _, fresh_params, _ = init_model(conf)
+            optimization_all_test_scenes(conf, model, fresh_params, Phases.SHORT_OPTIMIZATION,
+                                         rng=rng)
     return 0
 
 

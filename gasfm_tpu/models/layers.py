@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gasfm_tpu.graph.view_graph import ViewGraph
-from gasfm_tpu.ops.gatv2 import gatv2_attend
+from gasfm_tpu.ops.gatv2 import gatv2_attend, gatv2_attend_pool
 from gasfm_tpu.ops.segment import gather_segments, masked_mean, segment_mean
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
@@ -159,10 +159,19 @@ class GATv2SegmentConv(nn.Module):
             xr = jnp.broadcast_to(lin_r_b, (num_segments, H * C)).reshape(num_segments, H, C)
         else:
             xr = (query @ lin_r_k + lin_r_b).reshape(num_segments, H, C)
-        out = gatv2_attend(
-            xl, xr, att, seg_ids, num_segments,
-            edge_mask=edge_mask, indices_are_sorted=indices_are_sorted, window=window,
-        )
+        if num_segments == 1:
+            # Single-aggregation-node pool (view->global / point->global):
+            # dense masked softmax + matmul; seg_ids routing invalid rows to
+            # a trash segment is subsumed by the mask.
+            row_mask = seg_ids == 0
+            if edge_mask is not None:
+                row_mask = jnp.logical_and(row_mask, edge_mask)
+            out = gatv2_attend_pool(xl, xr, att, row_mask)
+        else:
+            out = gatv2_attend(
+                xl, xr, att, seg_ids, num_segments,
+                edge_mask=edge_mask, indices_are_sorted=indices_are_sorted, window=window,
+            )
         return out.reshape(num_segments, H * C) + bias
 
 

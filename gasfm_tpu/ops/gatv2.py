@@ -31,6 +31,36 @@ import jax.numpy as jnp
 from gasfm_tpu.ops.segment import SegmentWindows, gather_segments, segment_max, segment_sum
 
 
+def gatv2_attend_pool(
+    xl: jnp.ndarray,  # (E, H, C) transformed source features
+    xr0: jnp.ndarray,  # (1, H, C) transformed query features of THE segment
+    att: jnp.ndarray,  # (H, C) attention vectors
+    row_mask: jnp.ndarray,  # (E,) valid-source mask
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Single-segment specialization of :func:`gatv2_attend`: every valid row
+    attends into one aggregation node (the reference's view->global and
+    point->global star graphs, code/models/layers.py:538-603).
+
+    With one segment the softmax is an ordinary masked softmax over rows and
+    the weighted aggregation is one matmul, so both forward AND backward are
+    dense XLA ops — the generic segment path would lower its backward to a
+    serialized row scatter on TPU (~2.5 ms for 5120 rows, measured)."""
+    E, H, C = xl.shape
+    g = xl + xr0.reshape(1, H, C)
+    g = jnp.where(g >= 0, g, negative_slope * g)  # LeakyReLU(0.2)
+    logits = jnp.sum(g * att[None, :, :], axis=-1)  # (E, H)
+    logits = jnp.where(row_mask[:, None], logits, -jnp.inf)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=0))  # (H,)
+    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+    p = jnp.exp(logits - m[None, :])
+    p = jnp.where(row_mask[:, None], p, jnp.zeros_like(p))
+    den = jnp.sum(p, axis=0)  # (H,)
+    num = jnp.einsum("eh,ehc->hc", p, xl)  # (H, C), one MXU matmul per head
+    den = jnp.where(den > 0, den, jnp.ones_like(den))
+    return (num / den[:, None])[None]  # (1, H, C)
+
+
 def gatv2_attend(
     xl: jnp.ndarray,  # (E, H, C) transformed source features
     xr: jnp.ndarray,  # (S, H, C) transformed per-segment query features

@@ -95,6 +95,46 @@ class TestGATv2Parity:
             np.asarray(out_jax), out_torch.numpy(), atol=1e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("stateful", [False, True])
+    def test_single_segment_pool_matches_torch_oracle(self, stateful):
+        """The dense num_segments==1 pool path (view/point -> global star
+        graphs, reference layers.py:538-603) must agree with the same torch
+        oracle; invalid rows are routed to a trash segment id 1 + mask, as
+        ViewAndScenePoint2Global does."""
+        rng = np.random.default_rng(1)
+        E, d_in, H, C = 73, 12, 4, 8
+        x_src = rng.normal(size=(E, d_in))
+        valid = rng.random(E) < 0.8
+        valid[:2] = True
+        seg_ids = np.where(valid, 0, 1)
+        query = rng.normal(size=(1, d_in)) if stateful else np.zeros((1, d_in))
+
+        conv = GATv2SegmentConv(out_per_head=C, heads=H)
+        args = (jnp.asarray(x_src, jnp.float32), jnp.asarray(seg_ids, jnp.int32), 1)
+        kw = dict(
+            query=jnp.asarray(query, jnp.float32) if stateful else None,
+            edge_mask=jnp.asarray(valid),
+        )
+        params = conv.init(jax.random.PRNGKey(0), *args, **kw)
+        p = params["params"]
+        out_jax = conv.apply(params, *args, **kw)
+
+        out_torch = torch_gatv2_star(
+            torch.tensor(x_src[valid]),
+            torch.tensor(query),
+            torch.tensor(np.asarray(p["lin_l_kernel"]).T.astype(np.float64)),
+            torch.tensor(np.asarray(p["lin_l_bias"]).astype(np.float64)),
+            torch.tensor(np.asarray(p["lin_r_kernel"]).T.astype(np.float64)),
+            torch.tensor(np.asarray(p["lin_r_bias"]).astype(np.float64)),
+            torch.tensor(np.asarray(p["att"]).astype(np.float64)),
+            torch.tensor(np.asarray(p["bias"]).astype(np.float64)),
+            torch.tensor(np.zeros(int(valid.sum()), dtype=np.int64)),
+            1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_jax), out_torch.numpy(), atol=1e-5, rtol=1e-5
+        )
+
 
 # ---------------------------------------------------------------------------
 # Linear/LayerNorm stack oracle
