@@ -28,7 +28,21 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gasfm_tpu.ops.segment import SegmentWindows, gather_segments, segment_max, segment_sum
+from gasfm_tpu.ops.segment import (
+    SegmentWindows,
+    _kernel_interpret,
+    _kernels_enabled,
+    gather_segments,
+    segment_max,
+    segment_sum,
+)
+
+_CHUNK = 512
+_DENSE_MAX_SEGMENTS = 1024
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
 
 
 def gatv2_attend_pool(
@@ -77,6 +91,40 @@ def gatv2_attend(
     xl2 = xl.reshape(E, H * C)
     xr2 = xr.reshape(num_segments, H * C)
 
+    # Fused single-kernel path (TPU): the whole attention — query gather,
+    # logits, online segment softmax, weighted aggregation — runs as ONE
+    # Pallas launch forward and one backward (gasfm_tpu/ops/pallas/
+    # fused_attn.py), instead of 4+ launches with E-sized HBM intermediates.
+    if (
+        _kernels_enabled()
+        and xl2.dtype == jnp.float32
+        and E % _CHUNK == 0
+        and (window is not None or num_segments <= _DENSE_MAX_SEGMENTS)
+    ):
+        from gasfm_tpu.graph.view_graph import WINDOW
+        from gasfm_tpu.ops.pallas.fused_attn import fused_attend_h
+
+        if window is not None:
+            W = WINDOW
+            wb = window.block
+        else:
+            W = _round_up(num_segments + 1, 128)
+            wb = jnp.zeros((E // _CHUNK,), dtype=jnp.int32)
+        s_pad = _round_up(num_segments, W)
+        ids = seg_ids.astype(jnp.int32)
+        if edge_mask is not None:
+            # Route masked edges outside every window (id s_pad maps past the
+            # last block's range) so they contribute nothing, matching the
+            # XLA path's p-masking (and its zero gradients).
+            ids = jnp.where(edge_mask, ids, s_pad)
+        out2 = fused_attend_h(
+            H, xl2, xr2, att.reshape(1, H * C), ids[:, None], wb,
+            num_segments, W, negative_slope, _kernel_interpret(),
+        )
+        if window is not None and window.row_ok is not None:
+            out2 = jnp.where(window.row_ok[:, None], out2, 0.0)
+        return out2.reshape(num_segments, H, C)
+
     g2 = xl2 + gather_segments(xr2, seg_ids, num_segments, window=window)  # (E, H*C)
     g2 = jnp.where(g2 >= 0, g2, negative_slope * g2)  # LeakyReLU(0.2)
     logits = jnp.sum(g2.reshape(E, H, C) * att[None, :, :], axis=-1)  # (E, H)
@@ -89,7 +137,12 @@ def gatv2_attend(
     )
     m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
     m_e = jax.lax.stop_gradient(gather_segments(m, seg_ids, num_segments, window=window))
-    p = jnp.exp(logits - m_e)  # (E, H)
+    # Valid edges have logits <= their segment max; the stop-gradient cap
+    # only affects masked/padded edges, whose exp would otherwise overflow to
+    # inf and poison the backward with 0 * inf = NaN. (A plain minimum would
+    # zero the gradient of every segment's argmax edge at the 0 tie.)
+    shifted = logits - m_e
+    p = jnp.exp(shifted - jax.lax.stop_gradient(jnp.maximum(shifted, 0.0)))  # (E, H)
     if edge_mask is not None:
         p = jnp.where(edge_mask[:, None], p, jnp.zeros_like(p))
 

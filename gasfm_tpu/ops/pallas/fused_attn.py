@@ -1,0 +1,390 @@
+"""Fused GATv2 segment attention as single Pallas TPU kernels.
+
+Replaces the composite attention pipeline (gather query -> segment max ->
+gather max -> exp -> wide segment sum, i.e. 4+ Pallas launches with E-sized
+intermediates round-tripping HBM and XLA layout copies at every custom-call
+boundary) with ONE kernel per direction:
+
+    forward:  flash-attention-style online softmax over the blocked
+              point-major edge layout (gasfm_tpu/graph/view_graph.py). Each
+              aligned CHUNK of edges touches one W-wide window of segments
+              (scalar-prefetched block index per chunk, non-decreasing), so
+              the output tile, running max and running denominator stay
+              resident in VMEM across a window's chunks:
+
+                  m'   = max(m, max_e in chunk logits_e)
+                  num' = num * exp(m - m') + sum_e p_e * xl_e
+                  den' = den * exp(m - m') + sum_e p_e,   p_e = exp(l_e - m')
+
+              finalized to num/den (0 for empty segments) on the window's
+              last chunk. All segment gathers/reductions are one-hot matmuls
+              on the MXU built in VMEM.
+
+    backward: one kernel recomputing logits/p per chunk (z, p are never
+              stored to HBM) and emitting d xl (per chunk), d xr (window
+              accumulate) and d att (grid-wide accumulate), using the saved
+              (m, den) rows and forward output. The gradient through the max
+              shift is exactly zero (softmax shift invariance), matching the
+              stop_gradient convention of gasfm_tpu/ops/segment.py.
+
+Semantics parity target: gasfm_tpu/ops/gatv2.gatv2_attend (itself matching
+PyG GATv2Conv on the reference's star graphs, code/models/layers.py:266-458);
+tests validate forward AND grads against the pure-XLA path.
+
+Dense (unsorted-id) variant: the same kernels with a constant window covering
+the whole table (cam-side aggregation, few hundred cameras). The trash
+segment id == num_segments lands on a padded table row and is sliced off.
+
+Padded edges carry ids outside their chunk's window -> zero one-hot row ->
+no contribution; their recomputed p is clamped (exp(min(.,0)) <= 1) so no
+non-finite values can poison the MXU accumulations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 512
+_NEG = -1e30
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _head_selector(H: int, C: int, HP: int) -> np.ndarray:
+    """(H*C, HP) 0/1 matrix mapping flat feature dim -> head (zero-padded)."""
+    s = np.zeros((H * C, HP), dtype=np.float32)
+    for h in range(H):
+        s[h * C : (h + 1) * C, h] = 1.0
+    return s
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fused_attn_fwd_kernel(
+    wb_ref, ids_ref, xl_ref, xr_ref, att_ref, ssel_ref, out_ref, md_ref,
+    *, W: int, HP: int, slope: float,
+):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+    last = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, md_ref.shape, 0)
+        md_ref[:] = jnp.where(row < HP, _NEG, 0.0)  # m rows / den rows
+
+    ids = ids_ref[:]  # (CHUNK, 1)
+    local = ids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    match = local == seg_range  # (CHUNK, W)
+    onehot = match.astype(jnp.float32)
+
+    xl = xl_ref[:]  # (CHUNK, D)
+    xr_g = jnp.dot(onehot, xr_ref[:], preferred_element_type=jnp.float32)
+    z = xl + xr_g
+    gz = jnp.where(z >= 0, z, slope * z)
+    # logits per head: (gz * att) @ ssel -> (CHUNK, HP); padded heads get 0.
+    logits = jax.lax.dot_general(
+        gz * att_ref[:], ssel_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # Per-window chunk max, transposed (HP, W) layout (lane-aligned reduce).
+    rows = []
+    for h in range(HP):
+        col = logits[:, h : h + 1]  # (CHUNK, 1)
+        masked = jnp.where(match, col, _NEG)
+        rows.append(jnp.max(masked, axis=0, keepdims=True))  # (1, W)
+    m_chunk = jnp.concatenate(rows, axis=0)  # (HP, W)
+
+    m_old = md_ref[0:HP, :]
+    m_new = jnp.maximum(m_old, m_chunk)
+    scale = jnp.exp(m_old - m_new)  # (HP, W); empty-so-far rows give exp(0)=1
+
+    m_e = jax.lax.dot_general(
+        onehot, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, HP)
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))  # <=1; out-of-window rows die in onehot
+    p_d = jax.lax.dot_general(
+        p, ssel_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, D)
+
+    scale_wd = jax.lax.dot_general(
+        scale, ssel_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (W, D)
+    out_ref[:] = out_ref[:] * scale_wd + jax.lax.dot_general(
+        onehot, p_d * xl, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    den_new = md_ref[HP : 2 * HP, :] * scale + jax.lax.dot_general(
+        p, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    md_ref[0:HP, :] = m_new
+    md_ref[HP : 2 * HP, :] = den_new
+
+    @pl.when(last)
+    def _():
+        den = md_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, ssel_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] = out_ref[:] * inv_wd
+
+
+@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "interpret"))
+def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, interpret=False):
+    E, D = xl2.shape
+    assert E % _CHUNK == 0 and D % H == 0
+    C = D // H
+    HP = _round_up(max(H, 1), 8)
+    s_pad = xr2.shape[0]
+    assert s_pad % W == 0
+    ssel = jnp.asarray(_head_selector(H, C, HP))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+        ],
+    )
+    out, md = pl.pallas_call(
+        functools.partial(_fused_attn_fwd_kernel, W=W, HP=HP, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, ids2d, xl2, xr2, att_row, ssel)
+    return out, md
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _fused_attn_bwd_kernel(
+    wb_ref, ids_ref, xl_ref, xr_ref, att_ref, ssel_ref, md_ref, out_ref, g_ref,
+    dxl_ref, dxr_ref, datt_ref, gnum_scr, gden_scr,
+    *, W: int, HP: int, slope: float,
+):
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(c == 0)
+    def _():
+        datt_ref[:] = jnp.zeros_like(datt_ref)
+
+    @pl.when(first)
+    def _():
+        dxr_ref[:] = jnp.zeros_like(dxr_ref)
+        # Per-window constants: gnum = g/den broadcast per head on (W, D);
+        # gden = -(g . out)_h / den on (HP, W).
+        den = md_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)  # (HP, W)
+        inv_wd = jax.lax.dot_general(
+            inv, ssel_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = g_ref[:]
+        gnum_scr[:] = g * inv_wd
+        go = jax.lax.dot_general(
+            ssel_ref[:], g * out_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, W)
+        gden_scr[:] = -go * inv
+
+    ids = ids_ref[:]
+    local = ids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    onehot = (local == seg_range).astype(jnp.float32)
+
+    xl = xl_ref[:]
+    xr_g = jnp.dot(onehot, xr_ref[:], preferred_element_type=jnp.float32)
+    z = xl + xr_g
+    gz = jnp.where(z >= 0, z, slope * z)
+    logits = jax.lax.dot_general(
+        gz * att_ref[:], ssel_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, HP)
+    m_e = jax.lax.dot_general(
+        onehot, md_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+    dnum_e = jnp.dot(onehot, gnum_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, D)
+    dden_e = jax.lax.dot_general(
+        onehot, gden_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, HP)
+    dl = p * (
+        jax.lax.dot_general(
+            xl * dnum_e, ssel_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + dden_e
+    )  # (CHUNK, HP)
+    dl_d = jax.lax.dot_general(
+        dl, ssel_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, D)
+    dz = dl_d * att_ref[:] * jnp.where(z >= 0, 1.0, slope)
+    p_d = jax.lax.dot_general(
+        p, ssel_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dxl_ref[:] = p_d * dnum_e + dz
+    dxr_ref[:] += jax.lax.dot_general(
+        onehot, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    datt_ref[0:1, :] += jnp.sum(dl_d * gz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "interpret"))
+def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope, interpret=False):
+    E, D = xl2.shape
+    C = D // H
+    HP = _round_up(max(H, 1), 8)
+    s_pad = xr2.shape[0]
+    ssel = jnp.asarray(_head_selector(H, C, HP))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, D), jnp.float32),
+            pltpu.VMEM((HP, W), jnp.float32),
+        ],
+    )
+    dxl, dxr, datt8 = pl.pallas_call(
+        functools.partial(_fused_attn_bwd_kernel, W=W, HP=HP, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, D), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((8, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, ids2d, xl2, xr2, att_row, ssel, md, out, g)
+    return dxl, dxr, datt8
+
+
+# ---------------------------------------------------------------------------
+# differentiable public wrapper
+# ---------------------------------------------------------------------------
+
+
+def make_fused_attend(H: int):
+    """Build the custom-VJP fused attention entry point for `H` heads."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+    def attend(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
+        out, _ = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)
+        return out
+
+    def _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
+        s_pad = _round_up(num_segments, W)
+        xr_p = xr2 if xr2.shape[0] == s_pad else jnp.pad(
+            xr2, ((0, s_pad - xr2.shape[0]), (0, 0))
+        )
+        out_full, md = _fused_attn_fwd_raw(
+            xl2, xr_p, att_row, ids2d, wb, W, H, slope, interpret=interpret
+        )
+        return out_full[:num_segments], (xl2, xr_p, att_row, ids2d, wb, out_full, md)
+
+    def _fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
+        out, res = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)
+        return out, res
+
+    def _bwd(num_segments, W, slope, interpret, res, g):
+        xl2, xr_p, att_row, ids2d, wb, out_full, md = res
+        s_pad = xr_p.shape[0]
+        g_p = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
+        dxl, dxr_full, datt8 = _fused_attn_bwd_raw(
+            xl2, xr_p, att_row, ids2d, wb, md, out_full, g_p, W, H, slope,
+            interpret=interpret,
+        )
+        # Window blocks never visited by any chunk are never written by the
+        # kernel (uninitialized memory) — zero them. `wb` is tiny, so this
+        # scatter costs microseconds.
+        visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+        dxr_full = jnp.where(jnp.repeat(visited, W)[:, None], dxr_full, 0.0)
+        return (dxl, dxr_full[:num_segments], datt8[0:1], None, None)
+
+    attend.defvjp(_fwd, _bwd)
+    return attend
+
+
+_ATTEND_CACHE = {}
+
+
+def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
+                   W, slope=0.2, interpret=False):
+    """Fused segment attention specialized per head count.
+
+    xl2: (E, H*C) source-transformed edge features, head-major flat layout.
+    xr2: (S, H*C) per-segment query features (S == num_segments).
+    att_row: (1, H*C) flat attention vector.
+    ids2d: (E, 1) int32 segment ids; out-of-window ids contribute nothing.
+    wb: (E // CHUNK,) int32 non-decreasing window-block index per chunk
+        (all-zeros for the dense whole-table variant).
+    W: static window width, a multiple of 128; the table is padded to
+        ceil(S/W)*W rows. For the dense variant W must be >= S+1 so the
+        trash id S lands on a padded row (sliced off on return).
+    """
+    fn = _ATTEND_CACHE.get(num_heads)
+    if fn is None:
+        fn = make_fused_attend(num_heads)
+        _ATTEND_CACHE[num_heads] = fn
+    return fn(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)

@@ -295,7 +295,12 @@ def segment_softmax(
     shifted = logits - jax.lax.stop_gradient(
         gather_segments(m, seg_ids, num_segments, window=window)
     )
-    p = jnp.exp(shifted)
+    # Valid edges have shifted <= 0 (m is their segment max); the
+    # stop-gradient cap only affects masked/padded edges, whose exp would
+    # otherwise overflow to inf and poison the backward with 0 * inf = NaN.
+    # (A plain minimum would zero the gradient of every segment's argmax
+    # edge at the 0 tie.)
+    p = jnp.exp(shifted - jax.lax.stop_gradient(jnp.maximum(shifted, 0.0)))
     if edge_mask is not None:
         shape = edge_mask.shape + (1,) * (p.ndim - 1)
         p = jnp.where(edge_mask.reshape(shape), p, jnp.zeros_like(p))

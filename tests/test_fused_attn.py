@@ -1,0 +1,134 @@
+"""Fused single-kernel GATv2 attention vs the composite XLA path.
+
+Runs the dispatch (gasfm_tpu/ops/gatv2.gatv2_attend) in kernel mode
+"interpret" — which routes through gasfm_tpu/ops/pallas/fused_attn.py — and
+compares forward values AND gradients (xl, xr, att) against kernel mode
+"off" (pure XLA), covering the windowed (point-side) and dense whole-table
+(camera-side) variants, padding edges, empty segments, and skipped blocks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gasfm_tpu.ops.gatv2 import gatv2_attend
+from gasfm_tpu.ops.segment import SegmentWindows, set_kernel_mode
+
+
+@pytest.fixture(autouse=True)
+def _restore_mode():
+    yield
+    set_kernel_mode("auto")
+
+
+def make_windowed_case(n_chunks=6, S=1800, H=4, C=8, seed=0):
+    """Blocked layout: chunk c draws ids from one 512-window; some blocks
+    are skipped entirely; ~10% padding edges carry the trash id == S."""
+    rng = np.random.default_rng(seed)
+    W = 512
+    E = n_chunks * 512
+    n_blocks = -(-S // W)
+    wb = np.sort(rng.choice(n_blocks, size=n_chunks, replace=True)).astype(np.int32)
+    ids = np.empty((E,), np.int32)
+    for c in range(n_chunks):
+        lo = wb[c] * W
+        hi = min(lo + W, S)
+        ids[c * 512 : (c + 1) * 512] = rng.integers(lo, hi, size=512)
+    pad = rng.random(E) < 0.1
+    ids[pad] = S
+    visited = np.zeros(n_blocks, bool)
+    visited[np.unique(wb)] = True
+    row_ok = np.repeat(visited, W)[:S]
+
+    xl = rng.normal(size=(E, H, C)).astype(np.float32)
+    xl[pad] = 333.0  # must not leak
+    xr = rng.normal(size=(S, H, C)).astype(np.float32)
+    att = rng.normal(size=(H, C)).astype(np.float32)
+    window = SegmentWindows(block=jnp.asarray(wb), row_ok=jnp.asarray(row_ok))
+    return (
+        jnp.asarray(xl), jnp.asarray(xr), jnp.asarray(att),
+        jnp.asarray(ids), S, jnp.asarray(ids < S), window, row_ok,
+    )
+
+
+def make_dense_case(E=1024, S=64, H=2, C=16, seed=1):
+    """Camera-like: unsorted ids over a small table, trash id == S padding."""
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, S, size=E).astype(np.int32)
+    ids[-50:] = S
+    xl = rng.normal(size=(E, H, C)).astype(np.float32)
+    xl[-50:] = -77.0
+    xr = rng.normal(size=(S, H, C)).astype(np.float32)
+    att = rng.normal(size=(H, C)).astype(np.float32)
+    return (
+        jnp.asarray(xl), jnp.asarray(xr), jnp.asarray(att),
+        jnp.asarray(ids), S, jnp.asarray(ids < S), None,
+        np.ones(S, bool),
+    )
+
+
+CASES = {
+    "windowed": make_windowed_case,
+    "windowed_h1": lambda: make_windowed_case(H=1, C=32, S=700, seed=3),
+    "dense": make_dense_case,
+    "dense_h4": lambda: make_dense_case(S=300, H=4, C=8, seed=4),
+}
+
+
+@pytest.mark.parametrize("case", list(CASES))
+def test_fused_matches_xla_forward_and_grads(case):
+    xl, xr, att, ids, S, emask, window, row_ok = CASES[case]()
+    rng = np.random.default_rng(9)
+    R = jnp.asarray(rng.normal(size=(S,) + xl.shape[1:]).astype(np.float32))
+    sorted_ids = window is not None
+
+    def run(mode):
+        set_kernel_mode(mode)
+
+        def loss(xl_, xr_, att_):
+            out = gatv2_attend(
+                xl_, xr_, att_, ids, S, edge_mask=emask,
+                indices_are_sorted=sorted_ids, window=window,
+            )
+            out = jnp.where(jnp.asarray(row_ok)[:, None, None], out, 0.0)
+            return jnp.sum(out * R), out
+
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
+            xl, xr, att
+        )
+        return l, out, grads
+
+    l_x, out_x, g_x = run("off")
+    l_k, out_k, g_k = run("interpret")
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(l_k), float(l_x), atol=1e-4, rtol=1e-5)
+    for name, gx, gk in zip(("xl", "xr", "att"), g_x, g_k):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad mismatch: {name} ({case})",
+        )
+
+
+def test_fused_empty_segments_zero():
+    """Segments with no edges must give exactly 0 (and zero xr grads)."""
+    xl, xr, att, ids, S, emask, window, row_ok = make_windowed_case(
+        n_chunks=2, S=1800, seed=7
+    )
+    set_kernel_mode("interpret")
+    out = gatv2_attend(xl, xr, att, ids, S, edge_mask=emask, window=window)
+    out = np.asarray(out)
+    has = np.zeros(S, bool)
+    ids_np = np.asarray(ids)
+    has[ids_np[ids_np < S]] = True
+    assert np.all(out[~has] == 0.0)
+
+    def loss(xr_):
+        o = gatv2_attend(xl, xr_, att, ids, S, edge_mask=emask, window=window)
+        return jnp.sum(o ** 2)
+
+    g = np.asarray(jax.grad(loss)(xr))
+    assert np.all(g[~has] == 0.0)
+    assert np.isfinite(g).all()
