@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gasfm_tpu.graph.view_graph import ViewGraph
+from gasfm_tpu.ops.edge_update import edge_combine
 from gasfm_tpu.ops.gatv2 import gatv2_attend, gatv2_attend_pool
 from gasfm_tpu.ops.segment import gather_segments, masked_mean, segment_mean
 
@@ -504,12 +505,7 @@ class ProjectionFeatureUpdate(nn.Module):
         pv = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_view")(v)
         pg = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_global")(g)
 
-        new = (
-            pe
-            + gather_segments(ps, graph.pt_idx, graph.num_pts, window=graph.pt_segment_windows())
-            + gather_segments(pv, graph.cam_idx, graph.num_cams)
-            + pg
-        ) / 4.0
+        new = edge_combine(pe, ps, pv, pg, graph)
         if self.n_hidden_layers > 0:
             new = nn.relu(new)
             new = MLPStack(
@@ -671,13 +667,7 @@ class SetOfSetLayer(nn.Module):
             x_edges, graph
         )
         pe = TorchDense(self.d_out, name="lin_proj")(x_edges)
-        new = (
-            pe
-            + gather_segments(s, graph.pt_idx, graph.num_pts, window=graph.pt_segment_windows())
-            + gather_segments(v, graph.cam_idx, graph.num_cams)
-            + g
-        ) / 4.0
-        return new
+        return edge_combine(pe, s, v, g, graph)
 
 
 class SetOfSetBlock(nn.Module):

@@ -95,8 +95,15 @@ def gatv2_attend(
     # logits, online segment softmax, weighted aggregation — runs as ONE
     # Pallas launch forward and one backward (gasfm_tpu/ops/pallas/
     # fused_attn.py), instead of 4+ launches with E-sized HBM intermediates.
+    # NOTE: gated on single-shard execution — under edge partitioning the
+    # softmax max/den must be combined across shards (the composite path does
+    # this via the collective-aware segment ops); a collective fused variant
+    # would finalize num/m/den after a pmax/psum exchange.
+    from gasfm_tpu.ops.segment import current_edge_axis
+
     if (
         _kernels_enabled()
+        and current_edge_axis() is None
         and xl2.dtype == jnp.float32
         and E % _CHUNK == 0
         and (window is not None or num_segments <= _DENSE_MAX_SEGMENTS)

@@ -1,0 +1,184 @@
+"""Fused projection-feature edge update as single Pallas TPU kernels.
+
+The edge update of both model families is the 4-way gather-broadcast
+
+    out_e = (pe_e + ps[pt_e] + pv[cam_e] + pg) / 4
+
+(parity: reference ``GraphAttnSfMProjectionFeatureUpdate``,
+code/models/layers.py:873-956, and ``SetOfSetProjectionFeatureUpdate``,
+layers.py:129-147). The composite path costs two gather kernels forward and
+two segment-sum kernels + a column reduction backward, with the E-sized
+gathered tables round-tripping HBM. Here both directions are ONE kernel:
+
+    forward:  per edge chunk, gather the point-window tile and the whole
+              (small) camera table via one-hot MXU matmuls in VMEM and emit
+              the combined average directly.
+    backward: per edge chunk, emit d pe = g/4 and accumulate the three table
+              gradients (windowed point blocks / camera table / global row)
+              in resident VMEM tiles.
+
+Out-of-range ids (edge padding carries pt id == N, cam id == M over
+zero-padded table rows) contribute zero rows, matching
+``gasfm_tpu.ops.segment.gather_segments`` kernel-path semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 512
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _fwd_kernel(wb_ref, pids_ref, cids_ref, pe_ref, ps_ref, pv_ref, pg_ref, out_ref,
+                *, W: int, Wc: int):
+    c = pl.program_id(0)
+    local = pids_ref[:] - wb_ref[c] * W
+    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(jnp.float32)
+    oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
+        jnp.float32
+    )
+    out_ref[:] = (
+        pe_ref[:]
+        + jnp.dot(oh_pt, ps_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(oh_cam, pv_ref[:], preferred_element_type=jnp.float32)
+        + pg_ref[:]
+    ) * 0.25
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "interpret"))
+def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=False):
+    E, D = pe.shape
+    assert E % _CHUNK == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, W=W, Wc=Wc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, D), jnp.float32),
+        interpret=interpret,
+    )(wb, pids2d, cids2d, pe, ps_pad, pv_pad, pg)
+
+
+def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dpg_ref,
+                *, W: int, Wc: int):
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        dps_ref[:] = jnp.zeros_like(dps_ref)
+
+    @pl.when(c == 0)
+    def _():
+        dpv_ref[:] = jnp.zeros_like(dpv_ref)
+        dpg_ref[:] = jnp.zeros_like(dpg_ref)
+
+    local = pids_ref[:] - wb * W
+    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(jnp.float32)
+    oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
+        jnp.float32
+    )
+    g4 = g_ref[:] * 0.25
+    dpe_ref[:] = g4
+    dps_ref[:] += jax.lax.dot_general(
+        oh_pt, g4, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpv_ref[:] += jax.lax.dot_general(
+        oh_cam, g4, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpg_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad", "W", "Wc", "interpret"))
+def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=False):
+    E, D = g.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, W=W, Wc=Wc),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, D), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, D), jnp.float32),
+            jax.ShapeDtypeStruct((8, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, pids2d, cids2d, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_edge_combine(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W,
+                       interpret=False):
+    """(pe + ps[pt] + pv[cam] + pg) / 4 with zero rows for out-of-range ids.
+
+    ps: (num_pts, D) point table; pv: (num_cams, D) camera table; pg: (1, D).
+    W: static point-window width. The camera table is one-hot-matched at
+    width Wc = round_up(num_cams + 1, 128) so the trash id num_cams lands on
+    a zero-padded row.
+    """
+    out, _ = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+    return out
+
+
+def _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+    s_pad = _round_up(num_pts, W)
+    Wc = _round_up(num_cams + 1, 128)
+    ps_pad = ps if ps.shape[0] == s_pad else jnp.pad(ps, ((0, s_pad - ps.shape[0]), (0, 0)))
+    pv_pad = pv if pv.shape[0] == Wc else jnp.pad(pv, ((0, Wc - pv.shape[0]), (0, 0)))
+    out = _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=interpret)
+    return out, (pids2d, cids2d, wb, s_pad, Wc)
+
+
+def _fec_fwd(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+    out, res = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+    return out, res
+
+
+def _fec_bwd(num_pts, num_cams, W, interpret, res, g):
+    pids2d, cids2d, wb, s_pad, Wc = res
+    dpe, dps_full, dpv_full, dpg8 = _bwd_raw(
+        g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=interpret
+    )
+    visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+    dps_full = jnp.where(jnp.repeat(visited, W)[:, None], dps_full, 0.0)
+    return (dpe, dps_full[:num_pts], dpv_full[:num_cams], dpg8[0:1], None, None, None)
+
+
+fused_edge_combine.defvjp(_fec_fwd, _fec_bwd)

@@ -132,3 +132,54 @@ def test_fused_empty_segments_zero():
     g = np.asarray(jax.grad(loss)(xr))
     assert np.all(g[~has] == 0.0)
     assert np.isfinite(g).all()
+
+
+# ---------------------------------------------------------------------------
+# Fused edge update (4-way gather-broadcast average)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_edge_combine_matches_xla():
+    from gasfm_tpu.data.synthetic import generate_synthetic_scene
+    from gasfm_tpu.ops.edge_update import edge_combine
+
+    data = generate_synthetic_scene(n_views=9, n_points=700, visibility=0.35, seed=3)
+    g = data.to_scene_graph().graph
+    rng = np.random.default_rng(11)
+    D = 24
+    pe = jnp.asarray(rng.normal(size=(g.num_edges, D)).astype(np.float32))
+    ps = jnp.asarray(rng.normal(size=(g.num_pts, D)).astype(np.float32))
+    pv = jnp.asarray(rng.normal(size=(g.num_cams, D)).astype(np.float32))
+    pg = jnp.asarray(rng.normal(size=(1, D)).astype(np.float32))
+    R = jnp.asarray(rng.normal(size=(g.num_edges, D)).astype(np.float32))
+    emask = np.asarray(g.edge_mask)
+
+    def run(mode):
+        set_kernel_mode(mode)
+
+        def loss(pe_, ps_, pv_, pg_):
+            out = edge_combine(pe_, ps_, pv_, pg_, g)
+            # Padding rows differ by documented contract (clip vs zero-row
+            # gather); compare on valid edges only.
+            out = jnp.where(g.edge_mask[:, None], out, 0.0)
+            return jnp.sum(out * R), out
+
+        (l, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(pe, ps, pv, pg)
+        return l, out, grads
+
+    l_x, out_x, g_x = run("off")
+    l_k, out_k, g_k = run("interpret")
+
+    np.testing.assert_allclose(
+        np.asarray(out_k)[emask], np.asarray(out_x)[emask], atol=1e-5, rtol=1e-5
+    )
+    for name, gx, gk in zip(("pe", "ps", "pv", "pg"), g_x, g_k):
+        if name == "pe":
+            gx = np.asarray(gx)[emask]
+            gk = np.asarray(gk)[emask]
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=1e-4, rtol=1e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
