@@ -39,6 +39,12 @@ def _roofline_edges_per_s(n_layers: int, d_proj: int, hbm_gbps: float) -> float:
 
 def main():
     import jax
+
+    # Persistent compilation cache: repeated bench/driver runs skip the
+    # ~40s XLA compile of the train step (keyed by HLO, Pallas included).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import optax
 
@@ -58,13 +64,18 @@ def main():
     scene = data.to_scene_graph()
     n_edges = int(scene.graph.e_true)
 
-    params = model.init(jax.random.PRNGKey(0), scene.graph)
+    # Jitted init: un-jitted flax init runs op-by-op, eagerly compiling ~270
+    # tiny XLA programs (~2 min over the tunneled runtime); one jitted program
+    # compiles once. The scene is ALWAYS passed as an argument, never closed
+    # over — closure device arrays get embedded as HLO constants at lowering
+    # time, each costing a multi-second device->host readback on this runtime.
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     opt_state = tx.init(params)
 
     STEPS_PER_CALL = 10
 
     def one_step(carry, _):
-        params, opt_state = carry
+        params, opt_state, scene = carry
 
         def loss_fn(p):
             return loss_func(model.apply(p, scene.graph), scene)
@@ -72,14 +83,14 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        return (params, opt_state, scene), loss
 
     from functools import partial
 
     @partial(jax.jit, static_argnames="n")
-    def run_steps(params, opt_state, n):
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), None, length=n
+    def run_steps(params, opt_state, scene, n):
+        (params, opt_state, _), losses = jax.lax.scan(
+            one_step, (params, opt_state, scene), None, length=n
         )
         # Returning a scalar and fetching it forces completion — on remote
         # backends block_until_ready can return before execution finishes.
@@ -87,9 +98,9 @@ def main():
 
     # Warmup/compile both step counts.
     n_small, n_large = 2, 2 + STEPS_PER_CALL
-    _, _, l0 = run_steps(params, opt_state, n_small)
+    _, _, l0 = run_steps(params, opt_state, scene, n_small)
     float(l0)
-    _, _, l1 = run_steps(params, opt_state, n_large)
+    _, _, l1 = run_steps(params, opt_state, scene, n_large)
     float(l1)
 
     # Marginal cost: (time(n_large) - time(n_small)) / (n_large - n_small)
@@ -97,10 +108,10 @@ def main():
     t_small, t_large = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run_steps(params, opt_state, n_small)[2])
+        float(run_steps(params, opt_state, scene, n_small)[2])
         t_small.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(run_steps(params, opt_state, n_large)[2])
+        float(run_steps(params, opt_state, scene, n_large)[2])
         t_large.append(time.perf_counter() - t0)
     step_time = (min(t_large) - min(t_small)) / (n_large - n_small)
     edges_per_s = n_edges / step_time
