@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from gasfm_tpu.graph.view_graph import ViewGraph, WINDOW
 from gasfm_tpu.ops.segment import _kernel_interpret, _kernels_enabled, gather_segments
 
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024
 
 

@@ -37,7 +37,7 @@ from gasfm_tpu.ops.segment import (
     segment_sum,
 )
 
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024
 
 

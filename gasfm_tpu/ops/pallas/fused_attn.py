@@ -50,7 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK  # single source of truth
+
 _NEG = -1e30
 
 
@@ -104,13 +105,17 @@ def _fused_attn_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    # Per-window chunk max, transposed (HP, W) layout (lane-aligned reduce).
-    rows = []
-    for h in range(HP):
-        col = logits[:, h : h + 1]  # (CHUNK, 1)
-        masked = jnp.where(match, col, _NEG)
-        rows.append(jnp.max(masked, axis=0, keepdims=True))  # (1, W)
-    m_chunk = jnp.concatenate(rows, axis=0)  # (HP, W)
+    # Softmax shift: any per-segment-constant shift is exact (num and den
+    # rescale identically), so instead of a per-SEGMENT masked max (HP
+    # masked (CHUNK, W) reductions — the kernel's VPU hot spot), use the
+    # per-head max over the whole chunk, broadcast to all W segments. The
+    # online rescale across chunks handles differing shifts per chunk
+    # exactly. Out-of-window (padding) edges must not pollute the max —
+    # their xl rows hold arbitrary finite data.
+    inwin = jnp.logical_and(local >= 0, local < W)  # (CHUNK, 1)
+    masked_logits = jnp.where(inwin, logits, _NEG)
+    m_vec = jnp.max(masked_logits, axis=0, keepdims=True)  # (1, HP)
+    m_chunk = jnp.broadcast_to(m_vec.T, (HP, W))
 
     m_old = md_ref[0:HP, :]
     m_new = jnp.maximum(m_old, m_chunk)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 
 
 def _round_up(a: int, b: int) -> int:

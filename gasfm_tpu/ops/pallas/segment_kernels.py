@@ -197,7 +197,8 @@ def _segment_max_raw(
 # Differentiable wrappers (custom VJP: transpose(segment_sum) = gather)
 # ---------------------------------------------------------------------------
 
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK  # single source of truth
+
 _S_TILE = 512
 
 
@@ -259,7 +260,7 @@ def segment_max_kernel(data, ids2d, num_segments, neutral=-1e30, interpret=False
 # are left unwritten — callers mask them via the graph's pt_block_visited.
 # ---------------------------------------------------------------------------
 
-_WINDOW = 512
+from gasfm_tpu.graph.view_graph import WINDOW as _WINDOW  # noqa: E402
 
 
 def _wseg_sum_kernel(wb_ref, ids_ref, data_ref, out_ref):
@@ -311,6 +312,10 @@ def _wseg_sum_raw(
         out_shape=jax.ShapeDtypeStruct((s_pad, d), jnp.float32),
         interpret=interpret,
     )(wb, ids, data)
+    # Window blocks never visited by any chunk are never written by the
+    # kernel (uninitialized memory); sum semantics demand exact zeros there.
+    visited = jnp.zeros((s_pad // _WINDOW,), dtype=bool).at[wb].set(True)
+    out = jnp.where(jnp.repeat(visited, _WINDOW)[:, None], out, 0.0)
     return out[:num_segments]
 
 
@@ -365,6 +370,10 @@ def _wseg_max_raw(
         out_shape=jax.ShapeDtypeStruct((d, s_pad), jnp.float32),
         interpret=interpret,
     )(wb, ids, data)
+    # Unvisited window blocks are uninitialized memory; max semantics demand
+    # the neutral value there.
+    visited = jnp.zeros((s_pad // _WINDOW,), dtype=bool).at[wb].set(True)
+    out = jnp.where(jnp.repeat(visited, _WINDOW)[None, :], out, neutral)
     return out.T[:num_segments]
 
 

@@ -54,7 +54,7 @@ class SegmentWindows(NamedTuple):
 # ---------------------------------------------------------------------------
 
 _KERNEL_MODE = os.environ.get("GASFM_KERNEL_MODE", "auto")
-_CHUNK = 512
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024  # camera-side tables; beyond this XLA wins
 
 

@@ -34,12 +34,14 @@ def main():
     loss_func = get_loss_func(conf)
     data_s = generate_synthetic_scene(n_views=64, n_points=4096, visibility=0.2, seed=0)
     scene = data_s.to_scene_graph()
-    params = model.init(jax.random.PRNGKey(0), scene.graph)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     print("E_cap:", scene.graph.num_edges, "N_cap:", scene.graph.num_pts,
           "M_cap:", scene.graph.num_cams, flush=True)
 
     @jax.jit
-    def train_like(p):
+    def train_like(p, scene):
         def loss_fn(q):
             return loss_func(model.apply(q, scene.graph), scene)
 
@@ -47,17 +49,17 @@ def main():
         return jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
 
     t0 = time.perf_counter()
-    p1 = train_like(params)
+    p1 = train_like(params, scene)
     jax.block_until_ready(p1)
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
     for _ in range(2):
-        jax.block_until_ready(train_like(params))
+        jax.block_until_ready(train_like(params, scene))
 
     logdir = "/tmp/gasfm_trace"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
         for _ in range(3):
-            jax.block_until_ready(train_like(params))
+            jax.block_until_ready(train_like(params, scene))
     print("trace captured", flush=True)
 
     files = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)

@@ -24,18 +24,20 @@ def _restore_mode():
 
 
 def make_windowed_case(n_chunks=6, S=1800, H=4, C=8, seed=0):
-    """Blocked layout: chunk c draws ids from one 512-window; some blocks
-    are skipped entirely; ~10% padding edges carry the trash id == S."""
+    """Blocked layout: chunk c draws ids from one WINDOW-wide window; some
+    blocks are skipped entirely; ~10% padding edges carry the trash id == S."""
+    from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+
     rng = np.random.default_rng(seed)
-    W = 512
-    E = n_chunks * 512
+    W = WINDOW
+    E = n_chunks * CHUNK
     n_blocks = -(-S // W)
     wb = np.sort(rng.choice(n_blocks, size=n_chunks, replace=True)).astype(np.int32)
     ids = np.empty((E,), np.int32)
     for c in range(n_chunks):
         lo = wb[c] * W
         hi = min(lo + W, S)
-        ids[c * 512 : (c + 1) * 512] = rng.integers(lo, hi, size=512)
+        ids[c * CHUNK : (c + 1) * CHUNK] = rng.integers(lo, hi, size=CHUNK)
     pad = rng.random(E) < 0.1
     ids[pad] = S
     visited = np.zeros(n_blocks, bool)

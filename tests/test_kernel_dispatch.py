@@ -74,11 +74,13 @@ def test_forward_and_grad_match_xla(model_type):
     conf = _conf(model_type)
     model = get_model(conf)
     loss_func = get_loss_func(conf)
-    # >512 points forces several point blocks; E lands chunk-aligned.
+    # >WINDOW points forces several point blocks; E lands chunk-aligned.
+    from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+
     data = generate_synthetic_scene(n_views=9, n_points=700, visibility=0.35, seed=3)
     scene = data.to_scene_graph()
     graph = scene.graph
-    assert graph.num_edges % 512 == 0 and graph.num_pts > 512
+    assert graph.num_edges % CHUNK == 0 and graph.num_pts > WINDOW
 
     params = model.init(jax.random.PRNGKey(0), graph)
 

@@ -103,25 +103,27 @@ class TestSegmentMax:
 # Windowed kernels (blocked point-major layout)
 # ---------------------------------------------------------------------------
 
+from gasfm_tpu.graph.view_graph import CHUNK, WINDOW  # noqa: E402
 from gasfm_tpu.ops.pallas.segment_kernels import (  # noqa: E402
     windowed_gather,
     windowed_segment_max,
     windowed_segment_sum,
 )
 
+W = WINDOW
+
 
 def make_blocked_case(n_chunks=4, S=1800, d=36, seed=0):
-    """Random blocked layout: chunk c draws ids from one 512-window."""
+    """Random blocked layout: chunk c draws ids from one WINDOW-window."""
     rng = np.random.default_rng(seed)
-    W = 512
-    E = n_chunks * 512
+    E = n_chunks * CHUNK
     n_blocks = -(-S // W)
     wb = np.sort(rng.integers(0, n_blocks, size=n_chunks)).astype(np.int32)
     ids = np.empty((E,), np.int32)
     for c in range(n_chunks):
         lo = wb[c] * W
         hi = min(lo + W, S)
-        ids[c * 512 : (c + 1) * 512] = rng.integers(lo, hi, size=512)
+        ids[c * CHUNK : (c + 1) * CHUNK] = rng.integers(lo, hi, size=CHUNK)
     # sprinkle padding ids (== S) into each chunk
     pad = rng.random(E) < 0.1
     ids[pad] = S
@@ -140,7 +142,7 @@ class TestWindowedKernels:
             jnp.where((ids < S)[:, None], data, 0.0), ids, num_segments=S
         )
         out = windowed_segment_sum(data, ids[:, None], wb, S, True)
-        row_ok = np.repeat(visited, 512)[:S]
+        row_ok = np.repeat(visited, W)[:S]
         np.testing.assert_allclose(np.asarray(out)[row_ok], np.asarray(ref)[row_ok], atol=1e-4)
         # unvisited blocks are garbage by contract; visited rows with no edges are 0
         assert np.abs(np.asarray(out)[row_ok]).max() < 1e5
@@ -159,7 +161,7 @@ class TestWindowedKernels:
         masked = jnp.where((ids < S)[:, None], data, -1e30)
         ref = jax.ops.segment_max(masked, ids, num_segments=S)
         out = windowed_segment_max(data, ids[:, None], wb, S, neutral=-1e30, interpret=True)
-        row_ok = np.repeat(visited, 512)[:S]
+        row_ok = np.repeat(visited, W)[:S]
         has = np.asarray(jax.ops.segment_sum((ids < S).astype(jnp.int32), ids, num_segments=S)) > 0
         sel = row_ok & has
         np.testing.assert_allclose(np.asarray(out)[sel], np.asarray(ref)[sel], atol=1e-5)
@@ -168,7 +170,7 @@ class TestWindowedKernels:
     def test_sum_grad_is_gather(self):
         data, ids, wb, S, visited = make_blocked_case(S=700, d=8, seed=5)
         zeroed = jnp.where((ids < S)[:, None], data, 0.0)
-        row_ok = jnp.asarray(np.repeat(visited, 512)[:S])
+        row_ok = jnp.asarray(np.repeat(visited, W)[:S])
 
         def f(d):
             out = windowed_segment_sum(d, ids[:, None], wb, S, True)
