@@ -59,6 +59,11 @@ def main():
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)
 
+    # NOTE: a bf16 matmul mode exists for the Pallas one-hot kernels
+    # (gasfm_tpu/ops/segment.set_kernel_precision) but measured slower at
+    # these widths — the kernels are VPU/overhead-bound, not MXU-bound, and
+    # the operand casts cost more than the MXU saves. f32 is the fast path.
+
     # A large scene: ~46k valid edges (m=64 views, n=4096 points).
     data = generate_synthetic_scene(n_views=64, n_points=4096, visibility=0.2, seed=0)
     scene = data.to_scene_graph()

@@ -109,7 +109,11 @@ def init_model(conf, pretrained_model_path: Optional[str] = None):
     probe = generate_synthetic_scene(n_views=8, n_points=64, seed=0,
                                      calibrated=conf.get_bool("dataset.calibrated"))
     graph = probe.to_scene_graph().graph
-    params = model.init(jax.random.PRNGKey(conf.get_int("random_seed", default=0)), graph)
+    # Jitted init: un-jitted flax init runs op-by-op, eagerly compiling
+    # hundreds of tiny XLA programs — minutes over a tunneled TPU runtime.
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(conf.get_int("random_seed", default=0)), graph
+    )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"#Trainable parameters: {n_params}")
     if pretrained_model_path is not None:
@@ -118,6 +122,18 @@ def init_model(conf, pretrained_model_path: Optional[str] = None):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize force-registers a PJRT
+    # plugin that overrides the env var (e.g. the tunneled single-chip TPU
+    # runtime): apply it through jax.config BEFORE any device query. No-op
+    # if the backend is already initialized by the caller.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass
+
     from gasfm_tpu.experiments import (
         create_eval_dataloaders,
         eval_model,

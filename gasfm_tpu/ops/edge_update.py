@@ -41,13 +41,15 @@ def edge_combine(
     ):
         from gasfm_tpu.ops.pallas.fused_update import fused_edge_combine
 
+        from gasfm_tpu.ops.segment import get_kernel_precision
+
         return fused_edge_combine(
             pe, ps, pv, pg,
             graph.pt_idx.astype(jnp.int32)[:, None],
             graph.cam_idx.astype(jnp.int32)[:, None],
             window.block,
             graph.num_pts, graph.num_cams, WINDOW,
-            _kernel_interpret(),
+            _kernel_interpret(), get_kernel_precision(),
         )
     return (
         pe

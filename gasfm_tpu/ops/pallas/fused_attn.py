@@ -74,7 +74,7 @@ def _head_selector(H: int, C: int, HP: int) -> np.ndarray:
 
 def _fused_attn_fwd_kernel(
     wb_ref, ids_ref, xl_ref, xr_ref, att_ref, ssel_ref, out_ref, md_ref,
-    *, W: int, HP: int, slope: float,
+    *, W: int, HP: int, slope: float, mm_dtype,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -93,9 +93,14 @@ def _fused_attn_fwd_kernel(
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     match = local == seg_range  # (CHUNK, W)
     onehot = match.astype(jnp.float32)
+    # The large (CHUNK, W) x (W, D) matmuls optionally run with bf16
+    # operands (one-hot rows are exact in bf16; features round) and f32
+    # accumulation — ~4x MXU rate on v5e. Small matmuls stay f32.
+    onehot_mm = match.astype(mm_dtype)
 
     xl = xl_ref[:]  # (CHUNK, D)
-    xr_g = jnp.dot(onehot, xr_ref[:], preferred_element_type=jnp.float32)
+    xr_g = jnp.dot(onehot_mm, xr_ref[:].astype(mm_dtype),
+                   preferred_element_type=jnp.float32)
     z = xl + xr_g
     gz = jnp.where(z >= 0, z, slope * z)
     # logits per head: (gz * att) @ ssel -> (CHUNK, HP); padded heads get 0.
@@ -136,7 +141,8 @@ def _fused_attn_fwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (W, D)
     out_ref[:] = out_ref[:] * scale_wd + jax.lax.dot_general(
-        onehot, p_d * xl, dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot_mm, (p_d * xl).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     den_new = md_ref[HP : 2 * HP, :] * scale + jax.lax.dot_general(
@@ -157,14 +163,15 @@ def _fused_attn_fwd_kernel(
         out_ref[:] = out_ref[:] * inv_wd
 
 
-@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "interpret"))
-def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, interpret=False):
+@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "mm", "interpret"))
+def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", interpret=False):
     E, D = xl2.shape
     assert E % _CHUNK == 0 and D % H == 0
     C = D // H
     HP = _round_up(max(H, 1), 8)
     s_pad = xr2.shape[0]
     assert s_pad % W == 0
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     ssel = jnp.asarray(_head_selector(H, C, HP))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -183,7 +190,7 @@ def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, interpret=Fal
         ],
     )
     out, md = pl.pallas_call(
-        functools.partial(_fused_attn_fwd_kernel, W=W, HP=HP, slope=slope),
+        functools.partial(_fused_attn_fwd_kernel, W=W, HP=HP, slope=slope, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_pad, D), jnp.float32),
@@ -202,7 +209,7 @@ def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, interpret=Fal
 def _fused_attn_bwd_kernel(
     wb_ref, ids_ref, xl_ref, xr_ref, att_ref, ssel_ref, md_ref, out_ref, g_ref,
     dxl_ref, dxr_ref, datt_ref, gnum_scr, gden_scr,
-    *, W: int, HP: int, slope: float,
+    *, W: int, HP: int, slope: float, mm_dtype,
 ):
     c = pl.program_id(0)
     wb = wb_ref[c]
@@ -235,10 +242,13 @@ def _fused_attn_bwd_kernel(
     ids = ids_ref[:]
     local = ids - wb * W
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    onehot = (local == seg_range).astype(jnp.float32)
+    match = local == seg_range
+    onehot = match.astype(jnp.float32)
+    onehot_mm = match.astype(mm_dtype)
 
     xl = xl_ref[:]
-    xr_g = jnp.dot(onehot, xr_ref[:], preferred_element_type=jnp.float32)
+    xr_g = jnp.dot(onehot_mm, xr_ref[:].astype(mm_dtype),
+                   preferred_element_type=jnp.float32)
     z = xl + xr_g
     gz = jnp.where(z >= 0, z, slope * z)
     logits = jax.lax.dot_general(
@@ -251,7 +261,8 @@ def _fused_attn_bwd_kernel(
     )
     p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
 
-    dnum_e = jnp.dot(onehot, gnum_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, D)
+    dnum_e = jnp.dot(onehot_mm, gnum_scr[:].astype(mm_dtype),
+                     preferred_element_type=jnp.float32)  # (CHUNK, D)
     dden_e = jax.lax.dot_general(
         onehot, gden_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -275,18 +286,20 @@ def _fused_attn_bwd_kernel(
 
     dxl_ref[:] = p_d * dnum_e + dz
     dxr_ref[:] += jax.lax.dot_general(
-        onehot, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        onehot_mm, dz.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     datt_ref[0:1, :] += jnp.sum(dl_d * gz, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "interpret"))
-def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope, interpret=False):
+@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "mm", "interpret"))
+def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
+                        mm="f32", interpret=False):
     E, D = xl2.shape
     C = D // H
     HP = _round_up(max(H, 1), 8)
     s_pad = xr2.shape[0]
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     ssel = jnp.asarray(_head_selector(H, C, HP))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -313,7 +326,7 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope, i
         ],
     )
     dxl, dxr, datt8 = pl.pallas_call(
-        functools.partial(_fused_attn_bwd_kernel, W=W, HP=HP, slope=slope),
+        functools.partial(_fused_attn_bwd_kernel, W=W, HP=HP, slope=slope, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, D), jnp.float32),
@@ -330,8 +343,9 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope, i
 # ---------------------------------------------------------------------------
 
 
-def make_fused_attend(H: int):
-    """Build the custom-VJP fused attention entry point for `H` heads."""
+def make_fused_attend(H: int, mm: str = "f32"):
+    """Build the custom-VJP fused attention entry point for `H` heads at
+    matmul precision `mm` ("f32" | "bf16", see ops/segment.py)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
     def attend(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
@@ -344,7 +358,7 @@ def make_fused_attend(H: int):
             xr2, ((0, s_pad - xr2.shape[0]), (0, 0))
         )
         out_full, md = _fused_attn_fwd_raw(
-            xl2, xr_p, att_row, ids2d, wb, W, H, slope, interpret=interpret
+            xl2, xr_p, att_row, ids2d, wb, W, H, slope, mm=mm, interpret=interpret
         )
         return out_full[:num_segments], (xl2, xr_p, att_row, ids2d, wb, out_full, md)
 
@@ -358,7 +372,7 @@ def make_fused_attend(H: int):
         g_p = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
         dxl, dxr_full, datt8 = _fused_attn_bwd_raw(
             xl2, xr_p, att_row, ids2d, wb, md, out_full, g_p, W, H, slope,
-            interpret=interpret,
+            mm=mm, interpret=interpret,
         )
         # Window blocks never visited by any chunk are never written by the
         # kernel (uninitialized memory) — zero them. `wb` is tiny, so this
@@ -376,7 +390,9 @@ _ATTEND_CACHE = {}
 
 def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
                    W, slope=0.2, interpret=False):
-    """Fused segment attention specialized per head count.
+    """Fused segment attention specialized per (head count, matmul precision).
+    Matmul precision is read from ops.segment.get_kernel_precision() at trace
+    time.
 
     xl2: (E, H*C) source-transformed edge features, head-major flat layout.
     xr2: (S, H*C) per-segment query features (S == num_segments).
@@ -388,8 +404,11 @@ def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
         ceil(S/W)*W rows. For the dense variant W must be >= S+1 so the
         trash id S lands on a padded row (sliced off on return).
     """
-    fn = _ATTEND_CACHE.get(num_heads)
+    from gasfm_tpu.ops.segment import get_kernel_precision
+
+    key = (num_heads, get_kernel_precision())
+    fn = _ATTEND_CACHE.get(key)
     if fn is None:
-        fn = make_fused_attend(num_heads)
-        _ATTEND_CACHE[num_heads] = fn
+        fn = make_fused_attend(*key)
+        _ATTEND_CACHE[key] = fn
     return fn(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)

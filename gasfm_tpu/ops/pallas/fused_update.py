@@ -39,25 +39,27 @@ def _round_up(a: int, b: int) -> int:
 
 
 def _fwd_kernel(wb_ref, pids_ref, cids_ref, pe_ref, ps_ref, pv_ref, pg_ref, out_ref,
-                *, W: int, Wc: int):
+                *, W: int, Wc: int, mm_dtype):
     c = pl.program_id(0)
     local = pids_ref[:] - wb_ref[c] * W
-    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(jnp.float32)
+    # One-hot rows are exact in bf16; table operands round (f32 accumulate).
+    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(mm_dtype)
     oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
-        jnp.float32
+        mm_dtype
     )
     out_ref[:] = (
         pe_ref[:]
-        + jnp.dot(oh_pt, ps_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(oh_cam, pv_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(oh_pt, ps_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
+        + jnp.dot(oh_cam, pv_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
         + pg_ref[:]
     ) * 0.25
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Wc", "interpret"))
-def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=False):
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "mm", "interpret"))
+def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm="f32", interpret=False):
     E, D = pe.shape
     assert E % _CHUNK == 0
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
@@ -72,7 +74,7 @@ def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=False)
         out_specs=pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, W=W, Wc=Wc),
+        functools.partial(_fwd_kernel, W=W, Wc=Wc, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E, D), jnp.float32),
         interpret=interpret,
@@ -80,7 +82,7 @@ def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=False)
 
 
 def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dpg_ref,
-                *, W: int, Wc: int):
+                *, W: int, Wc: int, mm_dtype):
     c = pl.program_id(0)
     wb = wb_ref[c]
     first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
@@ -95,26 +97,28 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dp
         dpg_ref[:] = jnp.zeros_like(dpg_ref)
 
     local = pids_ref[:] - wb * W
-    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(jnp.float32)
+    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(mm_dtype)
     oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
-        jnp.float32
+        mm_dtype
     )
     g4 = g_ref[:] * 0.25
+    g4_mm = g4.astype(mm_dtype)
     dpe_ref[:] = g4
     dps_ref[:] += jax.lax.dot_general(
-        oh_pt, g4, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_pt, g4_mm, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dpv_ref[:] += jax.lax.dot_general(
-        oh_cam, g4, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_cam, g4_mm, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dpg_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("s_pad", "W", "Wc", "interpret"))
-def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=False):
+@functools.partial(jax.jit, static_argnames=("s_pad", "W", "Wc", "mm", "interpret"))
+def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, mm="f32", interpret=False):
     E, D = g.shape
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
@@ -131,7 +135,7 @@ def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=False):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, W=W, Wc=Wc),
+        functools.partial(_bwd_kernel, W=W, Wc=Wc, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, D), jnp.float32),
@@ -143,9 +147,9 @@ def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=False):
     )(wb, pids2d, cids2d, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_edge_combine(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W,
-                       interpret=False):
+                       interpret=False, mm="f32"):
     """(pe + ps[pt] + pv[cam] + pg) / 4 with zero rows for out-of-range ids.
 
     ps: (num_pts, D) point table; pv: (num_cams, D) camera table; pg: (1, D).
@@ -153,28 +157,29 @@ def fused_edge_combine(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W,
     width Wc = round_up(num_cams + 1, 128) so the trash id num_cams lands on
     a zero-padded row.
     """
-    out, _ = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+    out, _ = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm)
     return out
 
 
-def _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+def _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm):
     s_pad = _round_up(num_pts, W)
     Wc = _round_up(num_cams + 1, 128)
     ps_pad = ps if ps.shape[0] == s_pad else jnp.pad(ps, ((0, s_pad - ps.shape[0]), (0, 0)))
     pv_pad = pv if pv.shape[0] == Wc else jnp.pad(pv, ((0, Wc - pv.shape[0]), (0, 0)))
-    out = _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, interpret=interpret)
+    out = _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm=mm,
+                   interpret=interpret)
     return out, (pids2d, cids2d, wb, s_pad, Wc)
 
 
-def _fec_fwd(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
-    out, res = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+def _fec_fwd(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm="f32"):
+    out, res = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm)
     return out, res
 
 
-def _fec_bwd(num_pts, num_cams, W, interpret, res, g):
+def _fec_bwd(num_pts, num_cams, W, interpret, mm, res, g):
     pids2d, cids2d, wb, s_pad, Wc = res
     dpe, dps_full, dpv_full, dpg8 = _bwd_raw(
-        g, pids2d, cids2d, wb, s_pad, W, Wc, interpret=interpret
+        g, pids2d, cids2d, wb, s_pad, W, Wc, mm=mm, interpret=interpret
     )
     visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
     dps_full = jnp.where(jnp.repeat(visited, W)[:, None], dps_full, 0.0)

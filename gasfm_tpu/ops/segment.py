@@ -80,6 +80,25 @@ def _kernel_interpret() -> bool:
     return _KERNEL_MODE == "interpret"
 
 
+# Matmul precision of the Pallas one-hot gather/scatter kernels. "bf16" runs
+# the large (CHUNK x W) @ (W x D) one-hot matmuls with bfloat16 operands and
+# float32 accumulation — the one-hot operand is exact in bf16, feature
+# operands round to 8 mantissa bits (~4e-3 relative), and the MXU runs ~4x
+# faster than f32 on v5e. "f32" (default) keeps full parity with the XLA
+# reference path. Like the kernel mode, this is read at trace time.
+_KERNEL_PRECISION = os.environ.get("GASFM_KERNEL_PRECISION", "f32")
+
+
+def set_kernel_precision(precision: str) -> None:
+    assert precision in ("f32", "bf16")
+    global _KERNEL_PRECISION
+    _KERNEL_PRECISION = precision
+
+
+def get_kernel_precision() -> str:
+    return _KERNEL_PRECISION
+
+
 def _kernel_eligible(data: jnp.ndarray, seg_ids: jnp.ndarray) -> bool:
     return (
         _kernels_enabled()

@@ -87,6 +87,11 @@ class TrainingSession:
         self.tx, self.schedule = build_optimizer(conf, milestone_shift=milestone_shift)
         self.bucketize = GraphBucketizer(conf)
 
+        # Pallas kernel matmul precision (trace-time; see ops/segment.py).
+        from gasfm_tpu.ops.segment import set_kernel_precision
+
+        set_kernel_precision(conf.get_string("compile.kernel_precision", default="f32"))
+
         def _loss(params, scene):
             pred = model.apply(params, scene.graph)
             return self.loss_func(pred, scene), pred

@@ -115,3 +115,39 @@ def test_forward_and_grad_match_xla(model_type):
             np.asarray(gk), np.asarray(gx), atol=2e-4, rtol=1e-3,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_bf16_kernel_precision_close_to_f32():
+    """bf16 matmul mode (bench/training mixed precision): one-hot operands
+    are exact, feature operands round to 8 mantissa bits, so the fused-kernel
+    forward must track the f32 XLA path to bf16-level tolerances."""
+    from gasfm_tpu.ops.segment import set_kernel_precision
+
+    conf = _conf("graph_attn_sfm.GraphAttnSfMNet")
+    model = get_model(conf)
+    data = generate_synthetic_scene(n_views=9, n_points=700, visibility=0.35, seed=3)
+    scene = data.to_scene_graph()
+    graph = scene.graph
+    params = model.init(jax.random.PRNGKey(0), graph)
+
+    def run(mode, precision):
+        set_kernel_mode(mode)
+        set_kernel_precision(precision)
+        try:
+            return model.apply(params, graph)
+        finally:
+            set_kernel_precision("f32")
+            set_kernel_mode("auto")
+
+    pred_x = run("off", "f32")
+    pred_b = run("interpret", "bf16")
+
+    m, n = int(graph.m_true), int(graph.n_true)
+    np.testing.assert_allclose(
+        np.asarray(pred_b["Ps_norm"])[:m], np.asarray(pred_x["Ps_norm"])[:m],
+        atol=2e-2, rtol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_b["pts3D"])[:, :n], np.asarray(pred_x["pts3D"])[:, :n],
+        atol=2e-2, rtol=2e-2,
+    )
