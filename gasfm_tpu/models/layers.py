@@ -130,36 +130,55 @@ class GATv2SegmentConv(nn.Module):
     Source nodes = rows of ``x_src``; each attends into its segment's single
     aggregation node whose (optional) query features are ``query``.
     Parity: PyG GATv2Conv as instantiated in reference layers.py:304-309.
+
+    setup-style with split ``transform_src`` / ``transform_dst`` /
+    ``add_bias`` methods so a parent can run the attention of TWO convs over
+    the same edge set as one fused dual-direction kernel
+    (gasfm_tpu/ops/pallas/fused_dual_attn.py).
     """
 
+    in_feat: int
     out_per_head: int
     heads: int
 
-    @nn.compact
+    def setup(self):
+        H, C = self.heads, self.out_per_head
+        glorot = nn.initializers.glorot_uniform()
+        self.lin_l_kernel = self.param("lin_l_kernel", glorot, (self.in_feat, H * C))
+        self.lin_l_bias = self.param("lin_l_bias", nn.initializers.zeros, (H * C,))
+        self.lin_r_kernel = self.param("lin_r_kernel", glorot, (self.in_feat, H * C))
+        self.lin_r_bias = self.param("lin_r_bias", nn.initializers.zeros, (H * C,))
+        self.att = self.param("att", glorot, (H, C))
+        self.bias = self.param("bias", nn.initializers.zeros, (H * C,))
+
+    def transform_src(self, x_src: jnp.ndarray) -> jnp.ndarray:
+        H, C = self.heads, self.out_per_head
+        return (x_src @ self.lin_l_kernel + self.lin_l_bias).reshape(-1, H, C)
+
+    def transform_dst(self, query: Optional[jnp.ndarray], num_segments: int) -> jnp.ndarray:
+        H, C = self.heads, self.out_per_head
+        if query is None:
+            return jnp.broadcast_to(
+                self.lin_r_bias, (num_segments, H * C)
+            ).reshape(num_segments, H, C)
+        return (query @ self.lin_r_kernel + self.lin_r_bias).reshape(num_segments, H, C)
+
+    def add_bias(self, out: jnp.ndarray) -> jnp.ndarray:
+        num_segments = out.shape[0]
+        return out.reshape(num_segments, self.heads * self.out_per_head) + self.bias
+
     def __call__(
         self,
-        x_src: jnp.ndarray,  # (E, d_in)
+        x_src: jnp.ndarray,  # (E, in_feat)
         seg_ids: jnp.ndarray,  # (E,)
         num_segments: int,
-        query: Optional[jnp.ndarray] = None,  # (S, d_in); zeros if None
+        query: Optional[jnp.ndarray] = None,  # (S, in_feat); zeros if None
         edge_mask: Optional[jnp.ndarray] = None,
         indices_are_sorted: bool = False,
         window=None,
     ) -> jnp.ndarray:
-        H, C = self.heads, self.out_per_head
-        glorot = nn.initializers.glorot_uniform()
-        lin_l_k = self.param("lin_l_kernel", glorot, (x_src.shape[-1], H * C))
-        lin_l_b = self.param("lin_l_bias", nn.initializers.zeros, (H * C,))
-        lin_r_k = self.param("lin_r_kernel", glorot, (x_src.shape[-1], H * C))
-        lin_r_b = self.param("lin_r_bias", nn.initializers.zeros, (H * C,))
-        att = self.param("att", glorot, (H, C))
-        bias = self.param("bias", nn.initializers.zeros, (H * C,))
-
-        xl = (x_src @ lin_l_k + lin_l_b).reshape(-1, H, C)
-        if query is None:
-            xr = jnp.broadcast_to(lin_r_b, (num_segments, H * C)).reshape(num_segments, H, C)
-        else:
-            xr = (query @ lin_r_k + lin_r_b).reshape(num_segments, H, C)
+        xl = self.transform_src(x_src)
+        xr = self.transform_dst(query, num_segments)
         if num_segments == 1:
             # Single-aggregation-node pool (view->global / point->global):
             # dense masked softmax + matmul; seg_ids routing invalid rows to
@@ -167,13 +186,13 @@ class GATv2SegmentConv(nn.Module):
             row_mask = seg_ids == 0
             if edge_mask is not None:
                 row_mask = jnp.logical_and(row_mask, edge_mask)
-            out = gatv2_attend_pool(xl, xr, att, row_mask)
+            out = gatv2_attend_pool(xl, xr, self.att, row_mask)
         else:
             out = gatv2_attend(
-                xl, xr, att, seg_ids, num_segments,
+                xl, xr, self.att, seg_ids, num_segments,
                 edge_mask=edge_mask, indices_are_sorted=indices_are_sorted, window=window,
             )
-        return out.reshape(num_segments, H * C) + bias
+        return self.add_bias(out)
 
 
 def default_agg_width(in_feat: int, heads: int) -> int:
@@ -216,7 +235,48 @@ class AxialAttentionAggregator(nn.Module):
     n_hidden_layers: int = 0
     use_norm_pre_mlp: bool = True
 
-    @nn.compact
+    def setup(self):
+        agg = self.agg_feat if self.agg_feat is not None else default_agg_width(
+            self.in_feat, self.n_heads
+        )
+        assert agg % self.n_heads == 0
+        self.agg = agg
+        self.query_adapter = (
+            QueryAdapter(
+                project_to=self.in_feat if self.in_feat != self.out_feat else None
+            )
+            if self.stateful
+            else None
+        )
+        self.graph_conv = GATv2SegmentConv(self.in_feat, agg // self.n_heads, self.n_heads)
+        self.proj_agg = TorchDense(self.out_feat) if agg != self.out_feat else None
+        self.norm_pre_mlp = layer_norm() if self.use_norm_pre_mlp else None
+        self.mlp = MLPStack(tuple([self.out_feat] * (2 + self.n_hidden_layers)), norm=False)
+
+    def prepare(self, x_edges: jnp.ndarray, num_segments: int, prev):
+        """Source/query transforms of the attention half: (xl, xr, att).
+        Lets the parent run the aggregation itself (fused dual kernel)."""
+        query = self.query_adapter(prev) if self.stateful else None
+        xl = self.graph_conv.transform_src(x_edges)
+        xr = self.graph_conv.transform_dst(query, num_segments)
+        return xl, xr, self.graph_conv.att
+
+    def finish(self, aggregated: jnp.ndarray, prev) -> jnp.ndarray:
+        """Everything after the aggregation: bias, width adapter, residual,
+        LN+ReLU+MLP with second residual (reference layers.py:344-357)."""
+        x = self.graph_conv.add_bias(aggregated)
+        if self.proj_agg is not None:
+            x = self.proj_agg(x)
+        if prev is not None:
+            x = prev + x
+
+        x_skip = x
+        if self.norm_pre_mlp is not None:
+            x = self.norm_pre_mlp(x)
+            x = nn.relu(x)
+        x = self.mlp(x)
+        return x_skip + x
+
     def __call__(
         self,
         x_edges: jnp.ndarray,  # (E, in_feat)
@@ -228,31 +288,12 @@ class AxialAttentionAggregator(nn.Module):
         window=None,
     ) -> jnp.ndarray:
         assert self.stateful == (prev is not None)
-        agg = self.agg_feat if self.agg_feat is not None else default_agg_width(self.in_feat, self.n_heads)
-        assert agg % self.n_heads == 0
-
-        query = None
-        if self.stateful:
-            query = QueryAdapter(
-                project_to=self.in_feat if self.in_feat != self.out_feat else None,
-                name="query_adapter",
-            )(prev)
-
-        x = GATv2SegmentConv(agg // self.n_heads, self.n_heads, name="graph_conv")(
-            x_edges, seg_ids, num_segments, query=query, edge_mask=edge_mask,
-            indices_are_sorted=indices_are_sorted, window=window,
+        xl, xr, att = self.prepare(x_edges, num_segments, prev)
+        x = gatv2_attend(
+            xl, xr, att, seg_ids, num_segments,
+            edge_mask=edge_mask, indices_are_sorted=indices_are_sorted, window=window,
         )
-        if agg != self.out_feat:
-            x = TorchDense(self.out_feat, name="proj_agg")(x)
-        if prev is not None:
-            x = prev + x
-
-        x_skip = x
-        if self.use_norm_pre_mlp:
-            x = layer_norm(name="norm_pre_mlp")(x)
-            x = nn.relu(x)
-        x = MLPStack(tuple([self.out_feat] * (2 + self.n_hidden_layers)), norm=False, name="mlp")(x)
-        return x_skip + x
+        return self.finish(x, prev)
 
 
 class ViewAndScenePoint2Global(nn.Module):
@@ -308,10 +349,12 @@ class ViewAndScenePoint2Global(nn.Module):
 
         with edge_replicated():
             view_pooled = GATv2SegmentConv(
-                v2g // self.n_heads, self.n_heads, name="graph_conv_view2global"
+                self.n_feat_view_in, v2g // self.n_heads, self.n_heads,
+                name="graph_conv_view2global",
             )(view_features, view_seg, 1, query=q_view, edge_mask=cam_valid)  # (1, v2g)
             pt_pooled = GATv2SegmentConv(
-                s2g // self.n_heads, self.n_heads, name="graph_conv_scenepoint2global"
+                self.n_feat_scenepoint_in, s2g // self.n_heads, self.n_heads,
+                name="graph_conv_scenepoint2global",
             )(scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid)  # (1, s2g)
 
         x = jnp.concatenate([view_pooled, pt_pooled], axis=1)
@@ -401,7 +444,13 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
         if need_global:
             assert self.n_feat_global_out is not None
 
-        scenepoint_features = AxialAttentionAggregator(
+        # Both edge aggregations (edges->points windowed, edges->cameras
+        # dense) share the edge set; gatv2_attend_dual fuses them into ONE
+        # Pallas kernel per forward/backward when eligible and otherwise
+        # runs the two composite calls with identical semantics.
+        from gasfm_tpu.ops.gatv2 import gatv2_attend_dual
+
+        proj2scenepoint = AxialAttentionAggregator(
             self.n_feat_proj_in,
             self.n_feat_scenepoint_out,
             self.n_heads,
@@ -409,17 +458,8 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             agg_feat=self.n_feat_proj2scenepoint_agg,
             n_hidden_layers=self.n_hidden_layers_scenepoint_update,
             name="proj2scenepoint",
-        )(
-            x_edges,
-            graph.pt_idx,
-            graph.num_pts,
-            graph.edge_mask,
-            prev=prev_scenepoint_features,
-            indices_are_sorted=True,  # blocked layout is point-major
-            window=graph.pt_segment_windows(),
         )
-
-        view_features = AxialAttentionAggregator(
+        proj2view = AxialAttentionAggregator(
             self.n_feat_proj_in,
             self.n_feat_view_out,
             self.n_heads,
@@ -427,14 +467,20 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             agg_feat=self.n_feat_proj2view_agg,
             n_hidden_layers=self.n_hidden_layers_view_update,
             name="proj2view",
-        )(
-            x_edges,
-            graph.cam_idx,
-            graph.num_cams,
-            graph.edge_mask,
-            prev=prev_view_features,
-            indices_are_sorted=False,  # camera ids are unsorted in the blocked layout
         )
+        assert self.stateful == (prev_scenepoint_features is not None)
+        assert self.stateful == (prev_view_features is not None)
+        xl_p, xr_p, att_p = proj2scenepoint.prepare(
+            x_edges, graph.num_pts, prev_scenepoint_features
+        )
+        xl_c, xr_c, att_c = proj2view.prepare(x_edges, graph.num_cams, prev_view_features)
+        agg_p, agg_c = gatv2_attend_dual(
+            xl_p, xr_p, att_p, graph.pt_idx, graph.num_pts, graph.pt_segment_windows(),
+            xl_c, xr_c, att_c, graph.cam_idx, graph.num_cams,
+            edge_mask=graph.edge_mask,
+        )
+        scenepoint_features = proj2scenepoint.finish(agg_p, prev_scenepoint_features)
+        view_features = proj2view.finish(agg_c, prev_view_features)
 
         global_features = None
         if need_global:

@@ -161,3 +161,76 @@ def gatv2_attend(
     den = sums[:, H * C :]  # (S, H)
     den = jnp.where(den > 0, den, jnp.ones_like(den))
     return num / den[:, :, None]
+
+
+def gatv2_attend_dual(
+    xl_p: jnp.ndarray,  # (E, Hp, Cp) point-side transformed source features
+    xr_p: jnp.ndarray,  # (Np, Hp, Cp) point-side query transforms
+    att_p: jnp.ndarray,  # (Hp, Cp)
+    pt_ids: jnp.ndarray,  # (E,) point segment ids (blocked point-major)
+    num_pts: int,
+    window: Optional[SegmentWindows],
+    xl_c: jnp.ndarray,  # (E, Hc, Cc) camera-side transformed source features
+    xr_c: jnp.ndarray,  # (Nc, Hc, Cc) camera-side query transforms
+    att_c: jnp.ndarray,  # (Hc, Cc)
+    cam_ids: jnp.ndarray,  # (E,) camera ids (unsorted)
+    num_cams: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    negative_slope: float = 0.2,
+):
+    """Both per-layer edge aggregations in one pass.
+
+    When the fused TPU path is eligible this lowers to ONE Pallas kernel per
+    forward/backward (gasfm_tpu/ops/pallas/fused_dual_attn.py) with the two
+    directions packed on the lane axis — each alone uses D = H*C ~ 32 of the
+    128 lanes and pays the per-chunk fixed cost (id decode, one-hot build,
+    grid/DMA overhead) twice. Fallback: two composite :func:`gatv2_attend`
+    calls with identical semantics.
+    """
+    from gasfm_tpu.ops.segment import current_edge_axis
+
+    E = xl_p.shape[0]
+    Hp, Cp = xl_p.shape[1], xl_p.shape[2]
+    Hc, Cc = xl_c.shape[1], xl_c.shape[2]
+    if (
+        _kernels_enabled()
+        and current_edge_axis() is None
+        and window is not None
+        and xl_p.dtype == jnp.float32
+        and xl_c.dtype == jnp.float32
+        and E % _CHUNK == 0
+        and num_cams <= _DENSE_MAX_SEGMENTS
+    ):
+        from gasfm_tpu.graph.view_graph import WINDOW
+        from gasfm_tpu.ops.pallas.fused_dual_attn import fused_dual_attend
+
+        W = WINDOW
+        s_pad = _round_up(num_pts, W)
+        Wc = _round_up(num_cams + 1, 128)
+        pids = pt_ids.astype(jnp.int32)
+        cids = cam_ids.astype(jnp.int32)
+        if edge_mask is not None:
+            # Masked edges: out of every point window; camera trash row.
+            pids = jnp.where(edge_mask, pids, s_pad)
+            cids = jnp.where(edge_mask, cids, num_cams)
+        out_p2, out_c2 = fused_dual_attend(
+            Hp, Hc,
+            xl_p.reshape(E, Hp * Cp), xl_c.reshape(E, Hc * Cc),
+            xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
+            att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
+            pids[:, None], cids[:, None], window.block,
+            num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
+        )
+        if window.row_ok is not None:
+            out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
+        return out_p2.reshape(num_pts, Hp, Cp), out_c2.reshape(num_cams, Hc, Cc)
+
+    out_p = gatv2_attend(
+        xl_p, xr_p, att_p, pt_ids, num_pts, edge_mask=edge_mask,
+        indices_are_sorted=True, negative_slope=negative_slope, window=window,
+    )
+    out_c = gatv2_attend(
+        xl_c, xr_c, att_c, cam_ids, num_cams, edge_mask=edge_mask,
+        indices_are_sorted=False, negative_slope=negative_slope,
+    )
+    return out_p, out_c

@@ -1,0 +1,561 @@
+"""Dual-direction fused GATv2 segment attention: ONE Pallas kernel per
+forward/backward computing BOTH per-layer aggregations — edges->points
+(windowed over the blocked point-major layout) and edges->cameras (dense
+one-hot over the small camera table) — in a single grid sweep over edges.
+
+Motivation: each direction alone uses D = n_feat_proj ~ 32 of the 128 VPU
+lanes and pays the full per-chunk fixed cost (id decode, one-hot build,
+grid/DMA overhead) twice. The two directions share the chunk sweep and the
+head-space machinery: heads 0..Hp-1 are point-side, Hp..Hp+Hc-1 camera-side,
+and the (CHUNK, HP) logits/max/exp/softmax arrays are computed once for all
+heads. Everything lane-shaped stays PER-DIRECTION — inputs, outputs and
+cotangents keep their natural (., Dp) / (., Dc) shapes at the HBM boundary,
+so the wrapper adds NO packing concats/slices/pads on E-sized or
+table-sized arrays (measured: packing at the boundary cost more XLA glue
+than the fused kernel saved).
+
+Math per direction is identical to gasfm_tpu/ops/pallas/fused_attn.py
+(online softmax with a per-head per-chunk max shift — exact, since any
+per-segment-constant shift cancels between numerator and denominator; the
+shift gradient is exactly zero by softmax shift invariance, matching the
+stop_gradient convention of gasfm_tpu/ops/segment.py). Semantics parity
+target: two calls of gasfm_tpu/ops/gatv2.gatv2_attend (itself matching PyG
+GATv2Conv on the reference's star graphs, code/models/layers.py:266-458).
+
+Conventions:
+- Point ids: blocked point-major (every aligned CHUNK of edges draws its
+  point ids from one WINDOW-wide id window, scalar-prefetched block per
+  chunk, non-decreasing). Masked/padding edges carry a point id outside
+  every window.
+- Camera ids: unsorted, dense table of width Wc = round_up(n_cams+1, 128);
+  masked/padding edges carry the trash id n_cams (its row is sliced off).
+- Padding edges hold arbitrary finite features; they are excluded from the
+  chunk max via the point-window membership test (padding edges are exactly
+  the out-of-window ones in this layout), and their p <= 1 lands either on
+  a zero one-hot row (point side) or the trash row (camera side).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
+
+_NEG = -1e30
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _dir_selector(H: int, C: int, HP: int, head0: int) -> np.ndarray:
+    """(H*C, HP) 0/1 matrix: lane -> head column ``head0 + h``."""
+    s = np.zeros((H * C, HP), dtype=np.float32)
+    for h in range(H):
+        s[h * C : (h + 1) * C, head0 + h] = 1.0
+    return s
+
+
+def _head_masks(Hp: int, Hc: int, HP: int):
+    mp = np.zeros((1, HP), np.float32)
+    mp[0, :Hp] = 1.0
+    mc = np.zeros((1, HP), np.float32)
+    mc[0, Hp : Hp + Hc] = 1.0
+    return mp, mc
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _dual_fwd_kernel(
+    wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
+    attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    outp_ref, outc_ref, mdp_ref, mdc_ref,
+    *, W: int, Wc: int, HP: int, slope: float,
+):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+    last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
+
+    @pl.when(first_w)
+    def _():
+        outp_ref[:] = jnp.zeros_like(outp_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
+        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+
+    @pl.when(c == 0)
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
+        mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+
+    pids = pids_ref[:]  # (CHUNK, 1)
+    local = pids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    oh_p = (local == seg_range).astype(jnp.float32)  # (CHUNK, W)
+    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
+    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)  # (CHUNK, Wc)
+
+    xlp = xlp_ref[:]  # (CHUNK, Dp)
+    xlc = xlc_ref[:]  # (CHUNK, Dc)
+    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    # Shared head-space logits: point heads in columns 0..Hp-1, camera heads
+    # in Hp..Hp+Hc-1 (each selector writes its own columns; sum merges).
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, HP)
+
+    # Chunk-max shift shared by both directions; padding edges (exactly the
+    # out-of-window point ids in this layout) are masked out of the max.
+    inwin = jnp.logical_and(local >= 0, local < W)  # (CHUNK, 1)
+    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
+
+    hm = hm_ref[:]  # (2, HP)
+    mp_old = mdp_ref[0:HP, :]
+    mc_old = mdc_ref[0:HP, :]
+    mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
+    mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
+    scale_p = jnp.exp(mp_old - mp_new)
+    scale_c = jnp.exp(mc_old - mc_new)
+
+    m_e_p = jax.lax.dot_general(
+        oh_p, mp_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, HP)
+    m_e_c = jax.lax.dot_general(
+        oh_c, mc_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))  # (CHUNK, HP), shared exp
+
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, Dp)
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, Dc)
+
+    scale_p_wd = jax.lax.dot_general(
+        scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (W, Dp)
+    outp_ref[:] = outp_ref[:] * scale_p_wd + jax.lax.dot_general(
+        oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scale_c_wd = jax.lax.dot_general(
+        scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Wc, Dc)
+    outc_ref[:] = outc_ref[:] * scale_c_wd + jax.lax.dot_general(
+        oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    mdp_ref[0:HP, :] = mp_new
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + jax.lax.dot_general(
+        p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mdc_ref[0:HP, :] = mc_new
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + jax.lax.dot_general(
+        p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last_w)
+    def _():
+        den = mdp_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outp_ref[:] = outp_ref[:] * inv_wd
+
+    @pl.when(c == nc - 1)
+    def _():
+        den = mdc_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outc_ref[:] = outc_ref[:] * inv_wd
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret"))
+def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
+                  W, Wc, Hp, Hc, slope, interpret=False):
+    E, Dp = xlp.shape
+    Dc = xlc.shape[1]
+    assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    assert s_pad % W == 0 and xrc.shape[0] == Wc
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, Wc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    outp, outc, mdp, mdc = pl.pallas_call(
+        functools.partial(_dual_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm)
+    return outp, outc, mdp, mdc
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dual_bwd_kernel(
+    wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
+    attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    mdp_ref, mdc_ref, outp_ref, outc_ref, gp_ref, gc_ref,
+    dxlp_ref, dxlc_ref, dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
+    gnump_scr, gdenp_scr, gnumc_scr, gdenc_scr,
+    *, W: int, Wc: int, HP: int, slope: float,
+):
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(c == 0)
+    def _():
+        dattp_ref[:] = jnp.zeros_like(dattp_ref)
+        dattc_ref[:] = jnp.zeros_like(dattc_ref)
+        dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
+        den = mdc_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)  # (HP, Wc)
+        inv_wd = jax.lax.dot_general(
+            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Wc, Dc)
+        g = gc_ref[:]
+        gnumc_scr[:] = g * inv_wd
+        go = jax.lax.dot_general(
+            sselc_ref[:], g * outc_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, Wc)
+        gdenc_scr[:] = -go * inv
+
+    @pl.when(first_w)
+    def _():
+        dxrp_ref[:] = jnp.zeros_like(dxrp_ref)
+        den = mdp_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)  # (HP, W)
+        inv_wd = jax.lax.dot_general(
+            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (W, Dp)
+        g = gp_ref[:]
+        gnump_scr[:] = g * inv_wd
+        go = jax.lax.dot_general(
+            sselp_ref[:], g * outp_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, W)
+        gdenp_scr[:] = -go * inv
+
+    pids = pids_ref[:]
+    local = pids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    oh_p = (local == seg_range).astype(jnp.float32)
+    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
+    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+
+    xlp = xlp_ref[:]
+    xlc = xlc_ref[:]
+    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hm = hm_ref[:]
+    m_e_p = jax.lax.dot_general(
+        oh_p, mdp_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e_c = jax.lax.dot_general(
+        oh_c, mdc_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+    dnum_e_p = jnp.dot(oh_p, gnump_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, Dp)
+    dnum_e_c = jnp.dot(oh_c, gnumc_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, Dc)
+    dden_e = jax.lax.dot_general(
+        oh_p, gdenp_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * hm[0:1, :] + jax.lax.dot_general(
+        oh_c, gdenc_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * hm[1:2, :]
+
+    dl = p * (
+        jax.lax.dot_general(
+            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + dden_e
+    )  # (CHUNK, HP)
+    dl_dp = jax.lax.dot_general(
+        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, Dp)
+    dl_dc = jax.lax.dot_general(
+        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, Dc)
+    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
+    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dxlp_ref[:] = p_dp * dnum_e_p + dz_p
+    dxlc_ref[:] = p_dc * dnum_e_c + dz_c
+    dxrp_ref[:] += jax.lax.dot_general(
+        oh_p, dz_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxrc_ref[:] += jax.lax.dot_general(
+        oh_c, dz_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
+    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret"))
+def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
+                  mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
+                  interpret=False):
+    E, Dp = xlp.shape
+    Dc = xlc.shape[1]
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, Wc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, Dp), jnp.float32),
+            pltpu.VMEM((HP, W), jnp.float32),
+            pltpu.VMEM((Wc, Dc), jnp.float32),
+            pltpu.VMEM((HP, Wc), jnp.float32),
+        ],
+    )
+    dxlp, dxlc, dxrp, dxrc, dattp8, dattc8 = pl.pallas_call(
+        functools.partial(_dual_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((E, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm,
+      mdp, mdc, outp, outc, gp, gc)
+    return dxlp, dxlc, dxrp, dxrc, dattp8, dattc8
+
+
+# ---------------------------------------------------------------------------
+# differentiable public wrapper
+# ---------------------------------------------------------------------------
+
+
+def make_fused_dual_attend(Hp: int, Hc: int):
+    """Custom-VJP dual attention for (Hp point heads, Hc camera heads)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+    def attend(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+               n_pts, n_cams, W, Wc, slope, interpret):
+        (op, oc), _ = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
+                               cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
+        return op, oc
+
+    def _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+                 n_pts, n_cams, W, Wc, slope, interpret):
+        s_pad = _round_up(n_pts, W)
+        xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
+            xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
+        )
+        xr_c_pad = xr_c if xr_c.shape[0] == Wc else jnp.pad(
+            xr_c, ((0, Wc - xr_c.shape[0]), (0, 0))
+        )
+        outp, outc, mdp, mdc = _dual_fwd_raw(
+            xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+            W, Wc, Hp, Hc, slope, interpret=interpret,
+        )
+        res = (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d,
+               wb, outp, outc, mdp, mdc)
+        return (outp[:n_pts], outc[:n_cams]), res
+
+    def _fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+             n_pts, n_cams, W, Wc, slope, interpret):
+        out, res = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
+                            cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
+        return out, res
+
+    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, res, g):
+        gp_out, gc_out = g
+        (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+         outp, outc, mdp, mdc) = res
+        s_pad = xr_p_pad.shape[0]
+        gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
+            gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))
+        )
+        gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
+            gc_out, ((0, Wc - gc_out.shape[0]), (0, 0))
+        )
+        dxlp, dxlc, dxrp_full, dxrc_full, dattp8, dattc8 = _dual_bwd_raw(
+            xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+            mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
+            interpret=interpret,
+        )
+        # Unvisited point window blocks are never written (uninitialized).
+        visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+        dxrp_full = jnp.where(jnp.repeat(visited, W)[:, None], dxrp_full, 0.0)
+        return (
+            dxlp, dxlc,
+            dxrp_full[:n_pts], dxrc_full[:n_cams],
+            dattp8[0:1], dattc8[0:1],
+            None, None, None,
+        )
+
+    attend.defvjp(_fwd, _bwd)
+    return attend
+
+
+_DUAL_CACHE = {}
+
+
+def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
+                      pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
+                      slope=0.2, interpret=False):
+    """Dual fused segment attention specialized per head counts.
+
+    xl_p: (E, Dp) point-side source-transformed edge features (head-major).
+    xl_c: (E, Dc) camera-side source-transformed edge features.
+    xr_p: (n_pts, Dp), xr_c: (n_cams, Dc) per-segment query transforms.
+    att_p: (1, Dp), att_c: (1, Dc) flat attention vectors.
+    pids2d/cids2d: (E, 1) int32 ids; masked edges must carry an
+        out-of-window point id and the camera trash id ``n_cams``.
+    wb: (E // CHUNK,) non-decreasing point window-block per chunk.
+    W: point window width; Wc: camera table width, a multiple of 128 with
+        Wc >= n_cams + 1 (trash row sliced off).
+    Returns (out_pt (n_pts, Dp), out_cam (n_cams, Dc)).
+    """
+    key = (Hp, Hc)
+    fn = _DUAL_CACHE.get(key)
+    if fn is None:
+        fn = make_fused_dual_attend(*key)
+        _DUAL_CACHE[key] = fn
+    return fn(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+              n_pts, n_cams, W, Wc, slope, interpret)

@@ -65,7 +65,7 @@ class TestGATv2Parity:
         seg_ids[:S] = np.arange(S)
         query = rng.normal(size=(S, d_in)) if stateful else np.zeros((S, d_in))
 
-        conv = GATv2SegmentConv(out_per_head=C, heads=H)
+        conv = GATv2SegmentConv(in_feat=d_in, out_per_head=C, heads=H)
         params = conv.init(
             jax.random.PRNGKey(0), jnp.asarray(x_src, jnp.float32),
             jnp.asarray(seg_ids, jnp.int32), S,
@@ -109,7 +109,7 @@ class TestGATv2Parity:
         seg_ids = np.where(valid, 0, 1)
         query = rng.normal(size=(1, d_in)) if stateful else np.zeros((1, d_in))
 
-        conv = GATv2SegmentConv(out_per_head=C, heads=H)
+        conv = GATv2SegmentConv(in_feat=d_in, out_per_head=C, heads=H)
         args = (jnp.asarray(x_src, jnp.float32), jnp.asarray(seg_ids, jnp.int32), 1)
         kw = dict(
             query=jnp.asarray(query, jnp.float32) if stateful else None,
