@@ -108,6 +108,24 @@ class TrainingSession:
         self._update_fn = jax.jit(_update, donate_argnums=(0, 1))
         self._acc_fn = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
+        from gasfm_tpu.eval.metrics import core_errors_device
+
+        self._core_fn = jax.jit(core_errors_device)
+        # LR logging runs the schedule on the CPU backend: called eagerly on
+        # the accelerator it dispatches dozens of tiny ops per batch, which
+        # costs >100 ms/step over a tunneled runtime.
+        try:
+            self._sched_cpu = jax.jit(self.schedule, device=jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            self._sched_cpu = self.schedule
+
+    def core_errors(self, pred, scene):
+        """On-device our_repro (one scalar fetch; see core_errors_device)."""
+        return self._core_fn(pred, scene)
+
+    def lr_at(self, step: int) -> float:
+        return float(self._sched_cpu(step))
+
     def loss_and_grads(self, params, scene):
         (loss, pred), grads = self._grad_fn(params, scene)
         return loss, pred, grads
@@ -125,6 +143,64 @@ class TrainingSession:
 # ---------------------------------------------------------------------------
 # Epoch train
 # ---------------------------------------------------------------------------
+
+
+def _prepare_batches(train_loader, session, outlier_injection_rate, rng, epoch, depth: int = 2):
+    """Pipeline the per-sample host work (validity check, outlier injection,
+    graph bucketize + device feed) with device compute via one prefetch
+    thread. The reference hides the same work in DataLoader worker processes
+    (reference multiple_scenes_learning.py:48-50); here the sampling itself
+    is already prefetched by SceneLoader, and this stage overlaps the
+    remaining per-sample preprocessing. Yields lists of
+    (scene_data, scene_graph-or-None) in the loader's order — RNG draws stay
+    sequential in one thread, so determinism per seed is preserved."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errs: List[BaseException] = []
+
+    def worker():
+        try:
+            for train_batch in train_loader:
+                prepared = []
+                for curr_data in train_batch:
+                    if not curr_data.is_valid_sample():
+                        print(
+                            f"{epoch} {curr_data.scene_name} has a camera with not enough "
+                            "points or a point with not enough cameras"
+                        )
+                        prepared.append((curr_data, None))
+                        continue
+                    model_data = curr_data
+                    if outlier_injection_rate is not None:
+                        injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
+                        if injected is None:
+                            print(
+                                f"Failed outlier sampling for {curr_data.scene_name} - "
+                                "skipping training sample."
+                            )
+                            prepared.append((curr_data, None))
+                            continue
+                        model_data = injected
+                    prepared.append((curr_data, session.bucketize(model_data)))
+                q.put(prepared)
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            errs.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+    if errs:
+        raise errs[0]
 
 
 def epoch_train(
@@ -152,51 +228,23 @@ def epoch_train(
     calc_backproj = conf.get_bool("eval.calc_reprojerr_with_gtposes_for_depth_pred", default=False)
 
     train_losses: List[float] = []
-    batch_idx = -1
-    for batch_idx, train_batch in enumerate(train_loader):
-        batch_loss = 0.0
-        batch_mean_repro = 0.0
-        batch_mean_repro_backproj = 0.0
-        grads_sum = None
-        curr_scene_name = scene
-        for curr_data in train_batch:
-            if not curr_data.is_valid_sample():
-                print(
-                    f"{epoch} {curr_data.scene_name} has a camera with not enough points "
-                    "or a point with not enough cameras"
-                )
-                continue
-            if outlier_injection_rate is not None:
-                curr_data_injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
-                if curr_data_injected is None:
-                    print(f"Failed outlier sampling for {curr_data.scene_name} - skipping training sample.")
-                    continue
-                model_data = curr_data_injected
-            else:
-                model_data = curr_data
-            curr_scene_name = curr_data.scene_name
 
-            scene_graph = session.bucketize(model_data)
-            loss, pred, grads = session.loss_and_grads(params, scene_graph)
-            loss_val = float(loss)
-            batch_loss += loss_val
-            train_losses.append(loss_val)
-            grads_sum = grads if grads_sum is None else session.accumulate(grads_sum, grads)
-
-            pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
-            core = compute_core_errors(curr_data, pred_np, conf)
-            if explicit:
-                batch_mean_repro += core["our_repro"]
-            if calc_backproj:
-                batch_mean_repro_backproj += core["repro_backproj_rnd_gt_2view"]
-
-        n = len(train_batch)
-        if explicit:
-            batch_mean_repro /= n
-        if calc_backproj:
-            batch_mean_repro_backproj /= n
-
-        step_idx = prev_n_batches + batch_idx
+    # Deferred metric consumption: device scalars of batch i are fetched
+    # while batch i+1 is being dispatched (after an async host copy), so the
+    # per-step device->host round trip — tens of ms over a tunneled runtime —
+    # overlaps compute instead of serializing the loop. TB rows keep their
+    # correct step indices; they are merely WRITTEN one batch late.
+    def _flush(pnd):
+        losses = [float(x) for x in pnd["loss_parts"]]
+        train_losses.extend(losses)
+        batch_loss = float(sum(losses))
+        n = pnd["n"]
+        batch_mean_repro = (
+            float(sum(float(x) for x in pnd["repro_parts"])) / n if (explicit and n) else 0.0
+        )
+        batch_mean_repro_backproj = (sum(pnd["backproj_parts"]) / n) if (calc_backproj and n) else 0.0
+        step_idx = pnd["step_idx"]
+        curr_scene_name = pnd["scene_name"]
         if tb_writer is not None:
             log_scene = None if phase == Phases.TRAINING else curr_scene_name
             tb_log_train_step(tb_writer, step_idx, "loss", batch_loss, phase,
@@ -210,18 +258,78 @@ def epoch_train(
             if phase == Phases.TRAINING and tb_log_train_per_scene and curr_scene_name is not None:
                 tb_log_train_step(tb_writer, step_idx, "loss", batch_loss, phase,
                                   additional_identifiers, scene=curr_scene_name)
-            lr = float(session.schedule(n_updates))
-            tb_log_train_step(tb_writer, step_idx, "learning_rate", lr, phase,
+            tb_log_train_step(tb_writer, step_idx, "learning_rate", pnd["lr"], phase,
                               additional_identifiers, scene=log_scene)
-
-        if batch_loss > 0 and grads_sum is not None:
-            params, opt_state, grad_norm = session.update(params, opt_state, grads_sum)
-            if tb_writer is not None:
-                tb_log_train_step(tb_writer, step_idx, "grad_norm", float(grad_norm), phase,
+            if pnd["grad_norm"] is not None:
+                tb_log_train_step(tb_writer, step_idx, "grad_norm", float(pnd["grad_norm"]), phase,
                                   additional_identifiers,
                                   scene=None if phase == Phases.TRAINING else curr_scene_name)
+
+    def _host_async(x):
+        try:
+            x.copy_to_host_async()
+        except AttributeError:
+            pass
+        return x
+
+    pending = None
+    batch_idx = -1
+    for batch_idx, prepared_batch in enumerate(
+        _prepare_batches(train_loader, session, outlier_injection_rate, rng, epoch)
+    ):
+        loss_parts: List[Any] = []
+        repro_parts: List[Any] = []
+        backproj_parts: List[float] = []
+        grads_sum = None
+        curr_scene_name = scene
+        for curr_data, scene_graph in prepared_batch:
+            if scene_graph is None:
+                continue  # invalid sample / failed outlier injection (printed by the worker)
+            curr_scene_name = curr_data.scene_name
+
+            loss, pred, grads = session.loss_and_grads(params, scene_graph)
+            if explicit and not calc_backproj and outlier_injection_rate is None:
+                # On-device metric: one deferred scalar instead of pulling
+                # full predictions to the host and building dense arrays
+                # per step. (With outlier injection the reference scores
+                # predictions against the CLEAN observations — the host
+                # path below keeps that.)
+                repro_parts.append(
+                    _host_async(session.core_errors(pred, scene_graph)["our_repro"])
+                )
+            else:
+                pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
+                core = compute_core_errors(curr_data, pred_np, conf)
+                if explicit:
+                    repro_parts.append(core["our_repro"])
+                if calc_backproj:
+                    backproj_parts.append(core["repro_backproj_rnd_gt_2view"])
+            loss_parts.append(_host_async(loss))
+            grads_sum = grads if grads_sum is None else session.accumulate(grads_sum, grads)
+
+        grad_norm = None
+        if grads_sum is not None:
+            # (The pre-async code additionally skipped the update when the
+            # batch loss was exactly 0.0 — unobservable in practice.)
+            params, opt_state, grad_norm = session.update(params, opt_state, grads_sum)
+            _host_async(grad_norm)
+
+        if pending is not None:
+            _flush(pending)
+        pending = {
+            "loss_parts": loss_parts,
+            "repro_parts": repro_parts,
+            "backproj_parts": backproj_parts,
+            "n": len(loss_parts),
+            "step_idx": prev_n_batches + batch_idx,
+            "scene_name": curr_scene_name,
+            "lr": session.lr_at(n_updates),
+            "grad_norm": grad_norm,
+        }
         n_updates += 1  # the reference steps the scheduler every batch
 
+    if pending is not None:
+        _flush(pending)
     n_batches = batch_idx + 1
     mean_loss = float(np.mean(train_losses)) if train_losses else float("nan")
     return params, opt_state, n_updates, mean_loss, train_losses, n_batches
