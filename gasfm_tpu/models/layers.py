@@ -261,6 +261,16 @@ class AxialAttentionAggregator(nn.Module):
         xr = self.graph_conv.transform_dst(query, num_segments)
         return xl, xr, self.graph_conv.att
 
+    def query_transform(self, prev, num_segments: int):
+        """Only the query half of :meth:`prepare` — the source transform runs
+        inside the fused layer frontend (ops/gatv2.gatv2_layer_frontend)."""
+        query = self.query_adapter(prev) if self.stateful else None
+        return self.graph_conv.transform_dst(query, num_segments)
+
+    def src_params(self):
+        """(lin_l kernel, lin_l bias, att) for the fused layer frontend."""
+        return self.graph_conv.lin_l_kernel, self.graph_conv.lin_l_bias, self.graph_conv.att
+
     def finish(self, aggregated: jnp.ndarray, prev) -> jnp.ndarray:
         """Everything after the aggregation: bias, width adapter, residual,
         LN+ReLU+MLP with second residual (reference layers.py:344-357)."""
@@ -434,21 +444,24 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x_edges: jnp.ndarray,  # (E, d) normalized projection features
+        x_edges: jnp.ndarray,  # (E, d) edge features (see ln_params)
         graph: ViewGraph,
         prev_scenepoint_features: Optional[jnp.ndarray] = None,
         prev_view_features: Optional[jnp.ndarray] = None,
         prev_global_features: Optional[jnp.ndarray] = None,
+        ln_params=None,  # (scale, bias, eps): x_edges is then RAW and the
+        #                  LN + ReLU prologue fuses into the attention kernel;
+        #                  the normalized features are appended to the return.
     ):
         need_global = self.output_global or self.global2view_and_global2scenepoint_enabled
         if need_global:
             assert self.n_feat_global_out is not None
 
         # Both edge aggregations (edges->points windowed, edges->cameras
-        # dense) share the edge set; gatv2_attend_dual fuses them into ONE
-        # Pallas kernel per forward/backward when eligible and otherwise
-        # runs the two composite calls with identical semantics.
-        from gasfm_tpu.ops.gatv2 import gatv2_attend_dual
+        # dense) share the edge set; gatv2_attend_dual / gatv2_layer_frontend
+        # fuse them into ONE Pallas kernel per forward/backward when eligible
+        # and otherwise run the composite calls with identical semantics.
+        from gasfm_tpu.ops.gatv2 import gatv2_attend_dual, gatv2_layer_frontend
 
         proj2scenepoint = AxialAttentionAggregator(
             self.n_feat_proj_in,
@@ -470,15 +483,29 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
         )
         assert self.stateful == (prev_scenepoint_features is not None)
         assert self.stateful == (prev_view_features is not None)
-        xl_p, xr_p, att_p = proj2scenepoint.prepare(
-            x_edges, graph.num_pts, prev_scenepoint_features
-        )
-        xl_c, xr_c, att_c = proj2view.prepare(x_edges, graph.num_cams, prev_view_features)
-        agg_p, agg_c = gatv2_attend_dual(
-            xl_p, xr_p, att_p, graph.pt_idx, graph.num_pts, graph.pt_segment_windows(),
-            xl_c, xr_c, att_c, graph.cam_idx, graph.num_cams,
-            edge_mask=graph.edge_mask,
-        )
+        if ln_params is not None:
+            ln_scale, ln_bias, ln_eps = ln_params
+            xr_p = proj2scenepoint.query_transform(prev_scenepoint_features, graph.num_pts)
+            xr_c = proj2view.query_transform(prev_view_features, graph.num_cams)
+            wlp, blp, att_p = proj2scenepoint.src_params()
+            wlc, blc, att_c = proj2view.src_params()
+            x_edges, agg_p, agg_c = gatv2_layer_frontend(
+                x_edges, ln_scale, ln_bias, ln_eps,
+                wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                graph.pt_segment_windows(),
+                wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                edge_mask=graph.edge_mask,
+            )
+        else:
+            xl_p, xr_p, att_p = proj2scenepoint.prepare(
+                x_edges, graph.num_pts, prev_scenepoint_features
+            )
+            xl_c, xr_c, att_c = proj2view.prepare(x_edges, graph.num_cams, prev_view_features)
+            agg_p, agg_c = gatv2_attend_dual(
+                xl_p, xr_p, att_p, graph.pt_idx, graph.num_pts, graph.pt_segment_windows(),
+                xl_c, xr_c, att_c, graph.cam_idx, graph.num_cams,
+                edge_mask=graph.edge_mask,
+            )
         scenepoint_features = proj2scenepoint.finish(agg_p, prev_scenepoint_features)
         view_features = proj2view.finish(agg_c, prev_view_features)
 
@@ -514,6 +541,11 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
                 name="global2view",
             )(global_features, view_features)
 
+        if ln_params is not None:
+            # x_edges is the fused-frontend's normalized edge features here.
+            if not self.output_global:
+                return scenepoint_features, view_features, x_edges
+            return scenepoint_features, view_features, global_features, x_edges
         if not self.output_global:
             return scenepoint_features, view_features
         return scenepoint_features, view_features, global_features
@@ -614,13 +646,7 @@ class GraphAttnLayer(nn.Module):
         skipconn_init_projfeat: Optional[jnp.ndarray] = None,
     ):
         raw = prev_projection_features
-        if self.use_norm_proj_update:
-            x = layer_norm(name="prev_projfeat_norm")(raw)
-        else:
-            x = normalize_edge_features(raw, graph.edge_mask, None)
-        x = nn.relu(x)
-
-        s, v, g = GraphAttnGlobalFeatureUpdate(
+        global_update = GraphAttnGlobalFeatureUpdate(
             self.n_feat_proj_in,
             self.n_feat_scenepoint_hidden,
             self.n_feat_view_hidden,
@@ -637,13 +663,31 @@ class GraphAttnLayer(nn.Module):
             n_hidden_layers_view_update=self.n_hidden_layers_view_update,
             n_hidden_layers_global_update=self.n_hidden_layers_global_update,
             name="global_feature_update",
-        )(
-            x,
-            graph,
-            prev_scenepoint_features=prev_scenepoint_features,
-            prev_view_features=prev_view_features,
-            prev_global_features=prev_global_features,
         )
+        if self.use_norm_proj_update:
+            # The LN params live here (functional form) so the LN + ReLU +
+            # source-transform prologue can fuse into the attention kernel
+            # (ops/gatv2.gatv2_layer_frontend); x comes back normalized.
+            d_in = raw.shape[-1]
+            ln_scale = self.param("prev_projfeat_norm_scale", nn.initializers.ones, (d_in,))
+            ln_bias = self.param("prev_projfeat_norm_bias", nn.initializers.zeros, (d_in,))
+            s, v, g, x = global_update(
+                raw,
+                graph,
+                prev_scenepoint_features=prev_scenepoint_features,
+                prev_view_features=prev_view_features,
+                prev_global_features=prev_global_features,
+                ln_params=(ln_scale, ln_bias, LN_EPS),
+            )
+        else:
+            x = nn.relu(normalize_edge_features(raw, graph.edge_mask, None))
+            s, v, g = global_update(
+                x,
+                graph,
+                prev_scenepoint_features=prev_scenepoint_features,
+                prev_view_features=prev_view_features,
+                prev_global_features=prev_global_features,
+            )
 
         e = x
         if self.n_feat_skipconn_init_projfeat_in is not None:

@@ -234,3 +234,86 @@ def gatv2_attend_dual(
         indices_are_sorted=False, negative_slope=negative_slope,
     )
     return out_p, out_c
+
+
+def _layer_norm_relu(e: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     eps: float) -> jnp.ndarray:
+    """Functional flax-semantics LayerNorm (+ ReLU) over the last axis."""
+    mean = jnp.mean(e, axis=-1, keepdims=True)
+    var = jnp.mean(e * e, axis=-1, keepdims=True) - mean * mean
+    xn = (e - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return jnp.maximum(xn, 0.0)
+
+
+def gatv2_layer_frontend(
+    e_raw: jnp.ndarray,  # (E, De) RAW edge features
+    ln_scale: jnp.ndarray,  # (De,)
+    ln_bias: jnp.ndarray,  # (De,)
+    eps: float,
+    # point side
+    wlp: jnp.ndarray, blp: jnp.ndarray,  # (De, Dp), (Dp,)
+    att_p: jnp.ndarray,  # (Hp, Cp)
+    xr_p: jnp.ndarray,  # (Np, Hp, Cp)
+    pt_ids: jnp.ndarray,
+    num_pts: int,
+    window,
+    # camera side
+    wlc: jnp.ndarray, blc: jnp.ndarray,
+    att_c: jnp.ndarray,  # (Hc, Cc)
+    xr_c: jnp.ndarray,  # (Nc, Hc, Cc)
+    cam_ids: jnp.ndarray,
+    num_cams: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    negative_slope: float = 0.2,
+):
+    """The whole GASFM-layer edge-stream prologue — LN + ReLU + the two GATv2
+    source transforms + BOTH aggregations — as one fused kernel when
+    eligible (see ops/pallas/fused_dual_attn.fused_frontend), else the exact
+    composite XLA computation. Returns (e_norm, out_pt (Np,Hp,Cp),
+    out_cam (Nc,Hc,Cc))."""
+    from gasfm_tpu.ops.segment import current_edge_axis
+
+    E, De = e_raw.shape
+    Hp, Cp = xr_p.shape[1], xr_p.shape[2]
+    Hc, Cc = xr_c.shape[1], xr_c.shape[2]
+    if (
+        _kernels_enabled()
+        and current_edge_axis() is None
+        and window is not None
+        and e_raw.dtype == jnp.float32
+        and E % _CHUNK == 0
+        and num_cams <= _DENSE_MAX_SEGMENTS
+    ):
+        from gasfm_tpu.graph.view_graph import WINDOW
+        from gasfm_tpu.ops.pallas.fused_dual_attn import fused_frontend
+
+        W = WINDOW
+        s_pad = _round_up(num_pts, W)
+        Wc = _round_up(num_cams + 1, 128)
+        pids = pt_ids.astype(jnp.int32)
+        cids = cam_ids.astype(jnp.int32)
+        if edge_mask is not None:
+            pids = jnp.where(edge_mask, pids, s_pad)
+            cids = jnp.where(edge_mask, cids, num_cams)
+        en, out_p2, out_c2 = fused_frontend(
+            Hp, Hc, eps, e_raw,
+            ln_scale.reshape(1, De), ln_bias.reshape(1, De),
+            wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
+            xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
+            att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
+            pids[:, None], cids[:, None], window.block,
+            num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
+        )
+        if window.row_ok is not None:
+            out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
+        return en, out_p2.reshape(num_pts, Hp, Cp), out_c2.reshape(num_cams, Hc, Cc)
+
+    en = _layer_norm_relu(e_raw, ln_scale, ln_bias, eps)
+    xl_p = (en @ wlp + blp).reshape(E, Hp, Cp)
+    xl_c = (en @ wlc + blc).reshape(E, Hc, Cc)
+    out_p, out_c = gatv2_attend_dual(
+        xl_p, xr_p, att_p, pt_ids, num_pts, window,
+        xl_c, xr_c, att_c, cam_ids, num_cams,
+        edge_mask=edge_mask, negative_slope=negative_slope,
+    )
+    return en, out_p, out_c

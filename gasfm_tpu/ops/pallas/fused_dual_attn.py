@@ -559,3 +559,580 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
         _DUAL_CACHE[key] = fn
     return fn(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
               n_pts, n_cams, W, Wc, slope, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused layer frontend: LayerNorm + ReLU + both source transforms + dual
+# attention in ONE kernel per forward/backward.
+#
+# Per GASFM layer the edge stream is LN'd (over the feature dim), ReLU'd,
+# then linearly transformed twice (point-side / camera-side GATv2 source
+# maps) before the aggregations — in XLA that is 3+ full HBM traversals of
+# the (E, De) stream forward and more backward, plus the LN reductions that
+# use only De of the 128 lanes (~75 GB/s measured). Here the whole prologue
+# runs in VMEM per chunk (LN stats are lane reductions; the transforms are
+# (CHUNK, De) @ (De, D) MXU matmuls) and the normalized features are written
+# out ONCE for the downstream edge update. Backward recomputes the prologue
+# per chunk and emits d_e plus all parameter cotangents (LN scale/bias,
+# source kernels/biases, attention vectors) as grid-accumulated outputs.
+# ---------------------------------------------------------------------------
+
+
+def _front_fwd_kernel(
+    wb_ref, pids_ref, cids_ref, e_ref, lng_ref, lnb_ref,
+    wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
+    attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
+    *, W: int, Wc: int, HP: int, slope: float, eps: float,
+):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+    last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
+
+    @pl.when(first_w)
+    def _():
+        outp_ref[:] = jnp.zeros_like(outp_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
+        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+
+    @pl.when(c == 0)
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
+        mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+
+    # ---- prologue: LN (flax semantics) + ReLU + the two source transforms.
+    e = e_ref[:]  # (CHUNK, De)
+    mean = jnp.mean(e, axis=1, keepdims=True)
+    var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+    xhat = (e - mean) * jax.lax.rsqrt(var + eps)
+    xn = xhat * lng_ref[:] + lnb_ref[:]
+    en = jnp.maximum(xn, 0.0)
+    en_ref[:] = en
+    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+
+    # ---- dual attention (identical to _dual_fwd_kernel from here).
+    pids = pids_ref[:]
+    local = pids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    oh_p = (local == seg_range).astype(jnp.float32)
+    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
+    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+
+    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    inwin = jnp.logical_and(local >= 0, local < W)
+    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
+
+    hm = hm_ref[:]
+    mp_old = mdp_ref[0:HP, :]
+    mc_old = mdc_ref[0:HP, :]
+    mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
+    mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
+    scale_p = jnp.exp(mp_old - mp_new)
+    scale_c = jnp.exp(mc_old - mc_new)
+
+    m_e_p = jax.lax.dot_general(
+        oh_p, mp_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e_c = jax.lax.dot_general(
+        oh_c, mc_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    scale_p_wd = jax.lax.dot_general(
+        scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outp_ref[:] = outp_ref[:] * scale_p_wd + jax.lax.dot_general(
+        oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scale_c_wd = jax.lax.dot_general(
+        scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outc_ref[:] = outc_ref[:] * scale_c_wd + jax.lax.dot_general(
+        oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    mdp_ref[0:HP, :] = mp_new
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + jax.lax.dot_general(
+        p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mdc_ref[0:HP, :] = mc_new
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + jax.lax.dot_general(
+        p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last_w)
+    def _():
+        den = mdp_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outp_ref[:] = outp_ref[:] * inv_wd
+
+    @pl.when(c == nc - 1)
+    def _():
+        den = mdc_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outc_ref[:] = outc_ref[:] * inv_wd
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret"))
+def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                   pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False):
+    E, De = e.shape
+    Dp = wlp.shape[1]
+    Dc = wlc.shape[1]
+    assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    assert s_pad % W == 0 and xrc.shape[0] == Wc
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+
+    fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
+        ],
+    )
+    en, outp, outc, mdp, mdc = pl.pallas_call(
+        functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, De), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
+      attp, attc, sselp, sselc, hm)
+    return en, outp, outc, mdp, mdc
+
+
+def _front_bwd_kernel(
+    wb_ref, pids_ref, cids_ref, e_ref, lng_ref, lnb_ref,
+    wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
+    attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    mdp_ref, mdc_ref, outp_ref, outc_ref, gp_ref, gc_ref, gen_ref,
+    de_ref, dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
+    dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
+    gnump_scr, gdenp_scr, gnumc_scr, gdenc_scr,
+    *, W: int, Wc: int, HP: int, slope: float, eps: float,
+):
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(c == 0)
+    def _():
+        dattp_ref[:] = jnp.zeros_like(dattp_ref)
+        dattc_ref[:] = jnp.zeros_like(dattc_ref)
+        dlng_ref[:] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dwlp_ref[:] = jnp.zeros_like(dwlp_ref)
+        dblp_ref[:] = jnp.zeros_like(dblp_ref)
+        dwlc_ref[:] = jnp.zeros_like(dwlc_ref)
+        dblc_ref[:] = jnp.zeros_like(dblc_ref)
+        dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
+        den = mdc_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = gc_ref[:]
+        gnumc_scr[:] = g * inv_wd
+        go = jax.lax.dot_general(
+            sselc_ref[:], g * outc_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gdenc_scr[:] = -go * inv
+
+    @pl.when(first_w)
+    def _():
+        dxrp_ref[:] = jnp.zeros_like(dxrp_ref)
+        den = mdp_ref[HP : 2 * HP, :]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = gp_ref[:]
+        gnump_scr[:] = g * inv_wd
+        go = jax.lax.dot_general(
+            sselp_ref[:], g * outp_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gdenp_scr[:] = -go * inv
+
+    # ---- recompute the prologue.
+    e = e_ref[:]  # (CHUNK, De)
+    De = e.shape[1]
+    mean = jnp.mean(e, axis=1, keepdims=True)
+    var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (e - mean) * rstd
+    xn = xhat * lng_ref[:] + lnb_ref[:]
+    en = jnp.maximum(xn, 0.0)
+    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+
+    # ---- recompute attention internals and per-edge cotangents (identical
+    # math to _dual_bwd_kernel).
+    pids = pids_ref[:]
+    local = pids - wb * W
+    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    oh_p = (local == seg_range).astype(jnp.float32)
+    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
+    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+
+    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hm = hm_ref[:]
+    m_e_p = jax.lax.dot_general(
+        oh_p, mdp_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e_c = jax.lax.dot_general(
+        oh_c, mdc_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+    dnum_e_p = jnp.dot(oh_p, gnump_scr[:], preferred_element_type=jnp.float32)
+    dnum_e_c = jnp.dot(oh_c, gnumc_scr[:], preferred_element_type=jnp.float32)
+    dden_e = jax.lax.dot_general(
+        oh_p, gdenp_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * hm[0:1, :] + jax.lax.dot_general(
+        oh_c, gdenc_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * hm[1:2, :]
+
+    dl = p * (
+        jax.lax.dot_general(
+            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + dden_e
+    )
+    dl_dp = jax.lax.dot_general(
+        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl_dc = jax.lax.dot_general(
+        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
+    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dxlp = p_dp * dnum_e_p + dz_p  # (CHUNK, Dp)
+    dxlc = p_dc * dnum_e_c + dz_c
+    dxrp_ref[:] += jax.lax.dot_general(
+        oh_p, dz_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxrc_ref[:] += jax.lax.dot_general(
+        oh_c, dz_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
+    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+
+    # ---- prologue backward.
+    d_en = (
+        jax.lax.dot_general(
+            dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + gen_ref[:]
+    )  # (CHUNK, De)
+    dwlp_ref[:] += jax.lax.dot_general(
+        en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dblp_ref[0:1, :] += jnp.sum(dxlp, axis=0, keepdims=True)
+    dwlc_ref[:] += jax.lax.dot_general(
+        en, dxlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
+
+    d_xn = jnp.where(xn > 0, d_en, 0.0)
+    dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
+    dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
+    d_xhat = d_xn * lng_ref[:]
+    mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+    de_ref[:] = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret"))
+def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                   pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
+                   W, Wc, Hp, Hc, slope, eps, interpret=False):
+    E, De = e.shape
+    Dp = wlp.shape[1]
+    Dc = wlc.shape[1]
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+
+    fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, Dp), jnp.float32),
+            pltpu.VMEM((HP, W), jnp.float32),
+            pltpu.VMEM((Wc, Dc), jnp.float32),
+            pltpu.VMEM((HP, Wc), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_front_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, De), jnp.float32),
+            jax.ShapeDtypeStruct((8, De), jnp.float32),
+            jax.ShapeDtypeStruct((8, De), jnp.float32),
+            jax.ShapeDtypeStruct((De, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((De, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
+      attp, attc, sselp, sselc, hm, mdp, mdc, outp, outc, gp, gc, gen)
+    return outs
+
+
+def make_fused_frontend(Hp: int, Hc: int, eps: float):
+    """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
+    attention). Differentiable in (e, ln scale/bias, both source
+    kernels/biases, both attention vectors, both query tables)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
+    def front(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+        (en, op, oc), _ = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
+                               att_p, att_c, pids2d, cids2d, wb, n_pts,
+                               n_cams, W, Wc, slope, interpret)
+        return en, op, oc
+
+    def _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+        s_pad = _round_up(n_pts, W)
+        xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
+            xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
+        )
+        xr_c_pad = xr_c if xr_c.shape[0] == Wc else jnp.pad(
+            xr_c, ((0, Wc - xr_c.shape[0]), (0, 0))
+        )
+        en, outp, outc, mdp, mdc = _front_fwd_raw(
+            e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
+            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=interpret,
+        )
+        res = (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p,
+               att_c, pids2d, cids2d, wb, outp, outc, mdp, mdc)
+        return (en, outp[:n_pts], outc[:n_cams]), res
+
+    def _fwd(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+        out, res = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p,
+                        att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
+                        slope, interpret)
+        return out, res
+
+    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, res, g):
+        gen, gp_out, gc_out = g
+        (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
+         pids2d, cids2d, wb, outp, outc, mdp, mdc) = res
+        s_pad = xr_p_pad.shape[0]
+        gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
+            gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))
+        )
+        gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
+            gc_out, ((0, Wc - gc_out.shape[0]), (0, 0))
+        )
+        (de, dlng8, dlnb8, dwlp, dblp8, dwlc, dblc8, dxrp_full, dxrc_full,
+         dattp8, dattc8) = _front_bwd_raw(
+            e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
+            pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
+            W, Wc, Hp, Hc, slope, eps, interpret=interpret,
+        )
+        visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+        dxrp_full = jnp.where(jnp.repeat(visited, W)[:, None], dxrp_full, 0.0)
+        return (
+            de, dlng8[0:1], dlnb8[0:1], dwlp, dblp8[0:1], dwlc, dblc8[0:1],
+            dxrp_full[:n_pts], dxrc_full[:n_cams], dattp8[0:1], dattc8[0:1],
+            None, None, None,
+        )
+
+    front.defvjp(_fwd, _bwd)
+    return front
+
+
+_FRONT_CACHE = {}
+
+
+def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
+                   att_p, att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
+                   slope=0.2, interpret=False):
+    """LN + ReLU + both GATv2 source transforms + dual attention, fused.
+
+    e: (E, De) RAW edge features; lng/lnb: (1, De) LayerNorm scale/bias;
+    wlp/blp, wlc/blc: source linear maps (De, Dp)/(1, Dp) and (De, Dc)/(1, Dc);
+    remaining arguments as in :func:`fused_dual_attend`.
+    Returns (e_norm (E, De) = relu(LN(e)), out_pt (n_pts, Dp),
+    out_cam (n_cams, Dc)).
+    """
+    key = (Hp, Hc, float(eps))
+    fn = _FRONT_CACHE.get(key)
+    if fn is None:
+        fn = make_fused_frontend(Hp, Hc, float(eps))
+        _FRONT_CACHE[key] = fn
+    return fn(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
