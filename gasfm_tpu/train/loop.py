@@ -119,6 +119,24 @@ class TrainingSession:
         except RuntimeError:
             self._sched_cpu = self.schedule
 
+        def _fused_step(params, opt_state, scene):
+            (loss, pred), grads = jax.value_and_grad(_loss, has_aux=True)(params, scene)
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            from gasfm_tpu.eval.metrics import core_errors_device as _ced
+
+            core = _ced(pred, scene)
+            return new_params, new_opt_state, loss, core["our_repro"], grad_norm
+
+        # Single-dispatch train step for the dominant 1-valid-sample batch:
+        # separate grad/metric/update dispatches each cost multi-ms of host
+        # work (arg processing over ~300-leaf pytrees) per call.
+        self._fused_step_fn = jax.jit(_fused_step, donate_argnums=(0, 1))
+
+    def fused_step(self, params, opt_state, scene):
+        return self._fused_step_fn(params, opt_state, scene)
+
     def core_errors(self, pred, scene):
         """On-device our_repro (one scalar fetch; see core_errors_device)."""
         return self._core_fn(pred, scene)
@@ -282,13 +300,41 @@ def epoch_train(
         backproj_parts: List[float] = []
         grads_sum = None
         curr_scene_name = scene
-        for curr_data, scene_graph in prepared_batch:
-            if scene_graph is None:
-                continue  # invalid sample / failed outlier injection (printed by the worker)
+
+        device_metrics = explicit and not calc_backproj and outlier_injection_rate is None
+        valid_samples = [(cd, sg) for cd, sg in prepared_batch if sg is not None]
+        if device_metrics and len(valid_samples) == 1:
+            # Dominant case (batch of one valid sample): grad + update +
+            # on-device metrics as ONE dispatch — separate jitted calls each
+            # cost multi-ms of host-side argument processing per step.
+            curr_data, scene_graph = valid_samples[0]
+            curr_scene_name = curr_data.scene_name
+            params, opt_state, loss, repro, grad_norm = session.fused_step(
+                params, opt_state, scene_graph
+            )
+            loss_parts.append(_host_async(loss))
+            repro_parts.append(_host_async(repro))
+            _host_async(grad_norm)
+            if pending is not None:
+                _flush(pending)
+            pending = {
+                "loss_parts": loss_parts,
+                "repro_parts": repro_parts,
+                "backproj_parts": backproj_parts,
+                "n": 1,
+                "step_idx": prev_n_batches + batch_idx,
+                "scene_name": curr_scene_name,
+                "lr": session.lr_at(n_updates),
+                "grad_norm": grad_norm,
+            }
+            n_updates += 1
+            continue
+
+        for curr_data, scene_graph in valid_samples:
             curr_scene_name = curr_data.scene_name
 
             loss, pred, grads = session.loss_and_grads(params, scene_graph)
-            if explicit and not calc_backproj and outlier_injection_rate is None:
+            if device_metrics:
                 # On-device metric: one deferred scalar instead of pulling
                 # full predictions to the host and building dense arrays
                 # per step. (With outlier injection the reference scores
