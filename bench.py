@@ -77,7 +77,7 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     opt_state = tx.init(params)
 
-    STEPS_PER_CALL = 10
+    STEPS_PER_CALL = 512
 
     def one_step(carry, _):
         params, opt_state, scene = carry
@@ -101,24 +101,19 @@ def main():
         # backends block_until_ready can return before execution finishes.
         return params, opt_state, losses[-1]
 
-    # Warmup/compile both step counts.
-    n_small, n_large = 2, 2 + STEPS_PER_CALL
-    _, _, l0 = run_steps(params, opt_state, scene, n_small)
+    # ONE compiled program (a second scan length would double the cold
+    # trace+compile time, risking the driver's timeout). With 512 steps per
+    # call, per-call dispatch overhead (~5 ms over the tunnel) biases the
+    # per-step time by well under 1%.
+    _, _, l0 = run_steps(params, opt_state, scene, STEPS_PER_CALL)
     float(l0)
-    _, _, l1 = run_steps(params, opt_state, scene, n_large)
-    float(l1)
 
-    # Marginal cost: (time(n_large) - time(n_small)) / (n_large - n_small)
-    # cancels the per-call dispatch overhead of the tunneled runtime.
-    t_small, t_large = [], []
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run_steps(params, opt_state, scene, n_small)[2])
-        t_small.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run_steps(params, opt_state, scene, n_large)[2])
-        t_large.append(time.perf_counter() - t0)
-    step_time = (min(t_large) - min(t_small)) / (n_large - n_small)
+        float(run_steps(params, opt_state, scene, STEPS_PER_CALL)[2])
+        times.append(time.perf_counter() - t0)
+    step_time = min(times) / STEPS_PER_CALL
     edges_per_s = n_edges / step_time
 
     platform = jax.devices()[0].platform

@@ -56,8 +56,9 @@ from gasfm_tpu.utils.constants import MIN_N_POINTS_PER_VIEW, MIN_N_VIEWS_PER_POI
 # the single source of truth — the Pallas kernels import these. The windowed
 # one-hot matmuls cost 2*WINDOW*D FLOPs per edge, so a narrower window is
 # directly cheaper on the MXU; CHUNK sets the per-block padding granularity
-# (and the grid step count). (128, 256) measured best across scene shapes:
-# ~3.6x less MXU work than (512, 512) at 10-20% edge padding.
+# (and the grid step count). (WINDOW=128, CHUNK=512) measured best:
+# vs (512, 512) it is ~3.6x less MXU work at 10-25% edge padding; CHUNK=256
+# and CHUNK=1024 are both slower (per-grid-step overhead vs padding).
 WINDOW = 128
 CHUNK = 512
 
