@@ -185,3 +185,85 @@ def test_fused_edge_combine_matches_xla():
             np.asarray(gk), np.asarray(gx), atol=1e-4, rtol=1e-4,
             err_msg=f"grad mismatch: {name}",
         )
+
+
+def test_layer_frontend_fused_matches_composite():
+    """Op-level check of gatv2_layer_frontend: the fused kernel path
+    (interpret) must match the composite XLA path on e_norm, both
+    aggregation outputs, and gradients w.r.t. every differentiable input
+    (raw edges, LN scale/bias, source kernels/biases, attention vectors,
+    query tables)."""
+    from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+    from gasfm_tpu.ops.gatv2 import gatv2_layer_frontend
+
+    rng = np.random.default_rng(11)
+    n_chunks, S, M = 5, 500, 21
+    Hp = Hc = 4
+    Cp = Cc = 8
+    De = 32
+    W = WINDOW
+    E = n_chunks * CHUNK
+    n_blocks = -(-S // W)
+    wb = np.sort(rng.choice(n_blocks, size=n_chunks, replace=True)).astype(np.int32)
+    pt_ids = np.empty((E,), np.int32)
+    for c in range(n_chunks):
+        lo = wb[c] * W
+        pt_ids[c * CHUNK : (c + 1) * CHUNK] = rng.integers(lo, min(lo + W, S), size=CHUNK)
+    cam_ids = rng.integers(0, M, size=E).astype(np.int32)
+    emask = rng.random(E) > 0.08
+    visited = np.zeros(n_blocks, bool)
+    visited[np.unique(wb)] = True
+    row_ok = np.repeat(visited, W)[:S]
+    window = SegmentWindows(block=jnp.asarray(wb), row_ok=jnp.asarray(row_ok))
+
+    args = dict(
+        e=jnp.asarray(rng.normal(size=(E, De)).astype(np.float32)),
+        lng=jnp.asarray(rng.normal(size=(De,)).astype(np.float32)),
+        lnb=jnp.asarray(rng.normal(size=(De,)).astype(np.float32) * 0.1),
+        wlp=jnp.asarray(rng.normal(size=(De, Hp * Cp)).astype(np.float32) * 0.3),
+        blp=jnp.asarray(rng.normal(size=(Hp * Cp,)).astype(np.float32) * 0.1),
+        att_p=jnp.asarray(rng.normal(size=(Hp, Cp)).astype(np.float32)),
+        xr_p=jnp.asarray(rng.normal(size=(S, Hp, Cp)).astype(np.float32)),
+        wlc=jnp.asarray(rng.normal(size=(De, Hc * Cc)).astype(np.float32) * 0.3),
+        blc=jnp.asarray(rng.normal(size=(Hc * Cc,)).astype(np.float32) * 0.1),
+        att_c=jnp.asarray(rng.normal(size=(Hc, Cc)).astype(np.float32)),
+        xr_c=jnp.asarray(rng.normal(size=(M, Hc, Cc)).astype(np.float32)),
+    )
+    R_en = jnp.asarray(rng.normal(size=(E, De)).astype(np.float32))
+    R_p = jnp.asarray(rng.normal(size=(S, Hp, Cp)).astype(np.float32))
+    R_c = jnp.asarray(rng.normal(size=(M, Hc, Cc)).astype(np.float32))
+
+    def run(mode):
+        set_kernel_mode(mode)
+        try:
+            def loss(a):
+                en, out_p, out_c = gatv2_layer_frontend(
+                    a["e"], a["lng"], a["lnb"], 1e-5,
+                    a["wlp"], a["blp"], a["att_p"], a["xr_p"],
+                    jnp.asarray(pt_ids), S, window,
+                    a["wlc"], a["blc"], a["att_c"], a["xr_c"],
+                    jnp.asarray(cam_ids), M,
+                    edge_mask=jnp.asarray(emask),
+                )
+                out_p = jnp.where(jnp.asarray(row_ok)[:, None, None], out_p, 0.0)
+                val = jnp.sum(en * R_en) + jnp.sum(out_p * R_p) + jnp.sum(out_c * R_c)
+                return val, (en, out_p, out_c)
+
+            (v, outs), grads = jax.value_and_grad(loss, has_aux=True)(args)
+            return v, outs, grads
+        finally:
+            set_kernel_mode("auto")
+
+    v_x, outs_x, g_x = run("off")
+    v_k, outs_k, g_k = run("interpret")
+
+    for name, a, b in zip(("e_norm", "out_p", "out_c"), outs_k, outs_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5, atol=1e-3)
+    for key in args:
+        np.testing.assert_allclose(
+            np.asarray(g_k[key]), np.asarray(g_x[key]), atol=5e-4, rtol=2e-3,
+            err_msg=f"grad mismatch: {key}",
+        )
