@@ -79,23 +79,28 @@ def main():
 
     STEPS_PER_CALL = 512
 
-    def one_step(carry, _):
-        params, opt_state, scene = carry
-
-        def loss_fn(p):
-            return loss_func(model.apply(p, scene.graph), scene)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, scene), loss
-
     from functools import partial
 
     @partial(jax.jit, static_argnames="n")
     def run_steps(params, opt_state, scene, n):
-        (params, opt_state, _), losses = jax.lax.scan(
-            one_step, (params, opt_state, scene), None, length=n
+        # ``scene`` is closed over from the jit argument (a traced value, so
+        # not an embedded HLO constant) rather than threaded through the scan
+        # carry: XLA double-buffers loop carries, and carrying the invariant
+        # E-sized scene arrays copies them every iteration (measured 4x on
+        # the whole step: 12.4 -> 3.2 ms).
+        def one_step(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                return loss_func(model.apply(p, scene.graph), scene)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=n
         )
         # Returning a scalar and fetching it forces completion — on remote
         # backends block_until_ready can return before execution finishes.
