@@ -433,5 +433,9 @@ def core_errors_device(pred: Dict[str, Any], scene) -> Dict[str, Any]:
     valid = jnp.logical_and(
         g.edge_mask, jnp.logical_and(jnp.isfinite(err), jnp.logical_and(z != 0, w != 0))
     )
-    count = jnp.maximum(jnp.sum(valid), 1)
-    return {"our_repro": jnp.sum(jnp.where(valid, err, 0.0)) / count}
+    # all_sum: identity single-device; psum over the edge shards when traced
+    # inside an edge-partitioned shard_map (the production multi-chip step).
+    from gasfm_tpu.ops.segment import all_sum
+
+    count = jnp.maximum(all_sum(jnp.sum(valid)), 1)
+    return {"our_repro": all_sum(jnp.sum(jnp.where(valid, err, 0.0))) / count}

@@ -147,6 +147,12 @@ def main(argv=None):
     args = parse_args(argv)
     conf, rng = init_exp(args)
 
+    # Multi-host runtime startup (conf `parallel.distributed.*`) — must run
+    # before any device query so the global mesh spans every host's chips.
+    from gasfm_tpu.parallel import initialize_distributed
+
+    initialize_distributed(conf)
+
     pretrained = args.pretrained_model_path
     if pretrained is None and getattr(args, "old_exp_dir", None):
         name = getattr(args, "pretrained_model_filename", None) or "best_model.npz"

@@ -6,9 +6,14 @@ TPU-native scaling subsystem."""
 from gasfm_tpu.parallel.edge_sharding import (
     DATA_AXIS,
     EDGE_AXIS,
+    initialize_distributed,
     make_mesh,
     make_sharded_forward,
+    make_sharded_fused_step,
+    make_sharded_grad_step,
     make_sharded_train_step,
+    mesh_from_conf,
+    pad_scene_group,
     scene_graph_specs,
     stack_scene_graphs,
 )
@@ -16,9 +21,14 @@ from gasfm_tpu.parallel.edge_sharding import (
 __all__ = [
     "DATA_AXIS",
     "EDGE_AXIS",
+    "initialize_distributed",
     "make_mesh",
     "make_sharded_forward",
+    "make_sharded_fused_step",
+    "make_sharded_grad_step",
     "make_sharded_train_step",
+    "mesh_from_conf",
+    "pad_scene_group",
     "scene_graph_specs",
     "stack_scene_graphs",
 ]

@@ -85,6 +85,197 @@ def stack_scene_graphs(scenes: List[SceneGraph]) -> SceneGraph:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
 
 
+def initialize_distributed(conf) -> bool:
+    """Multi-host runtime startup: ``jax.distributed.initialize`` driven by
+    conf keys (single-process no-op unless enabled).
+
+    The reference has no communication backend at all (single process,
+    single GPU — SURVEY section 2.7); this is the TPU-native equivalent:
+    one process per host, all hosts joined into one XLA runtime so a global
+    ``Mesh`` can span every chip, with collectives riding ICI/DCN.
+
+    conf keys (``parallel.distributed``):
+      enabled             bool (default false)
+      coordinator_address "host:port" (default: JAX/TPU auto-detection)
+      num_processes       int (default: auto)
+      process_id          int (default: auto)
+
+    Returns True iff ``jax.distributed.initialize`` was called.
+    """
+    import jax
+
+    if not conf.get_bool("parallel.distributed.enabled", default=False):
+        return False
+    kwargs = {}
+    addr = conf.get_string("parallel.distributed.coordinator_address", default=None)
+    if addr is not None:
+        kwargs["coordinator_address"] = addr
+    n_proc = conf.get_int("parallel.distributed.num_processes", default=None)
+    if n_proc is not None:
+        kwargs["num_processes"] = n_proc
+    pid = conf.get_int("parallel.distributed.process_id", default=None)
+    if pid is not None:
+        kwargs["process_id"] = pid
+    jax.distributed.initialize(**kwargs)
+    print(
+        f"[distributed] initialized: process {jax.process_index()}/{jax.process_count()}, "
+        f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
+    )
+    return True
+
+
+def mesh_from_conf(conf) -> Optional[Mesh]:
+    """Build the (data, edge) mesh from ``parallel.mesh_shape = [d, e]``.
+
+    Returns None when no mesh is configured or it is the trivial [1, 1].
+    Asserts there are enough devices (global — spans all hosts after
+    :func:`initialize_distributed`).
+    """
+    shape = conf.get_list("parallel.mesh_shape", default=None)
+    if shape is None:
+        return None
+    assert len(shape) == 2, f"parallel.mesh_shape must be [data, edge], got {shape}"
+    n_data, n_edge = int(shape[0]), int(shape[1])
+    if n_data * n_edge <= 1:
+        return None
+    return make_mesh(n_edge=n_edge, n_data=n_data)
+
+
+def pad_scene_group(
+    scenes: List[SceneGraph], n_data: int
+) -> Tuple[SceneGraph, np.ndarray]:
+    """Stack <= n_data same-capacity scenes into an n_data-slot batch.
+
+    Short groups are padded by repeating the last scene with WEIGHT 0: the
+    sharded step multiplies each slot's loss by its weight before the psum,
+    so padded slots contribute exactly zero to loss and gradients — any
+    valid-sample count runs through one compiled program per capacity
+    bucket, with numerics identical to the unpadded batch.
+    """
+    assert 1 <= len(scenes) <= n_data
+    weights = np.zeros((n_data,), dtype=np.float32)
+    weights[: len(scenes)] = 1.0
+    padded = list(scenes) + [scenes[-1]] * (n_data - len(scenes))
+    return stack_scene_graphs(padded), weights
+
+
+def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
+    """The production multi-chip train step (drop-in for the single-chip
+    ``TrainingSession`` fused step).
+
+    step(params, opt_state, batched_scene, weights) ->
+        (params, opt_state, loss_sum, repro_sum, n_valid, grad_norm)
+
+    ``batched_scene`` leading dim == data-axis size; ``weights`` (n_data,)
+    are per-slot loss weights (see :func:`pad_scene_group`). Losses/metrics
+    are weight-summed over slots (the reference's ``batch_loss``
+    accumulation, train.py:61-88); gradients are exact global gradients of
+    the weighted sum; the Adam update runs replicated.
+
+    ``tx`` overrides the optimizer (the trainer passes its milestone-shifted
+    one); defaults to ``build_optimizer(conf)``.
+    """
+    import optax as _optax
+
+    from gasfm_tpu.eval.metrics import core_errors_device
+
+    loss_func = get_loss_func(conf)
+    if tx is None:
+        tx, _ = build_optimizer(conf)
+
+    def per_device(params, opt_state, scene, weight):
+        scene = jax.tree_util.tree_map(lambda x: x[0], scene)
+        w = weight[0]
+        with edge_partitioned(EDGE_AXIS):
+            def loss_fn(p):
+                pred = model.apply(p, scene.graph)
+                return loss_func(pred, scene) * w, pred
+
+            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            repro = core_errors_device(pred, scene)["our_repro"] * w
+        loss = jax.lax.psum(loss, DATA_AXIS)
+        repro = jax.lax.psum(repro, DATA_AXIS)
+        n_valid = jax.lax.psum(w, DATA_AXIS)
+        grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
+        grad_norm = _optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = _optax.apply_updates(params, updates)
+        return params, opt_state, loss, repro, n_valid, grad_norm
+
+    has_depths = conf.get_bool("model.depth_head.enabled", default=False)
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            scene_graph_specs(batched=True, has_depths=has_depths),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_sharded_grad_step(conf, model, mesh: Mesh):
+    """Gradient-only multi-chip step for batch accumulation (batches with
+    more valid samples than data-axis slots, reference train.py:61-88).
+
+    step(params, batched_scene, weights) ->
+        (loss_sum, repro_sum, grads, pred_batched)
+
+    ``pred_batched`` holds every slot's padded predictions stacked on a
+    leading data axis (for the host-side metric paths: outlier-injected
+    scoring against clean observations, backproj metrics).
+    """
+    from gasfm_tpu.eval.metrics import core_errors_device
+
+    loss_func = get_loss_func(conf)
+
+    def per_device(params, scene, weight):
+        scene = jax.tree_util.tree_map(lambda x: x[0], scene)
+        w = weight[0]
+        with edge_partitioned(EDGE_AXIS):
+            def loss_fn(p):
+                pred = model.apply(p, scene.graph)
+                return loss_func(pred, scene) * w, pred
+
+            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            repro = core_errors_device(pred, scene)["our_repro"] * w
+        loss = jax.lax.psum(loss, DATA_AXIS)
+        repro = jax.lax.psum(repro, DATA_AXIS)
+        grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
+        # Expose each slot's padded predictions: lift a leading singleton
+        # axis so the P(DATA_AXIS) out-spec stacks slots into a leading
+        # (n_data, ...) batch dim. Table outputs (Ps_norm, pts3D) are
+        # replicated over the edge axis; the depth head's per-edge output
+        # stays edge-sharded and reassembles to the full (n_data, E).
+        pred = jax.tree_util.tree_map(lambda x: x[None], pred)
+        return loss, repro, grads, pred
+
+    has_depths = conf.get_bool("model.depth_head.enabled", default=False)
+    pred_specs = {}
+    if conf.get_bool("model.view_head.enabled", default=False):
+        pred_specs["Ps_norm"] = P(DATA_AXIS)
+    if conf.get_bool("model.scenepoint_head.enabled", default=False):
+        pred_specs["pts3D"] = P(DATA_AXIS)
+    if has_depths:
+        pred_specs["depths"] = P(DATA_AXIS, EDGE_AXIS)
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            scene_graph_specs(batched=True, has_depths=has_depths),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(), P(), P(), pred_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_train_step(conf, model, mesh: Mesh):
     """Build the jitted multi-chip train step.
 

@@ -62,17 +62,25 @@ def _is_oom_error(e: BaseException) -> bool:
 class GraphBucketizer:
     """SceneData -> SceneGraph with conf-driven bucketing (compile cache
     reuse across samples; replaces the reference's per-sample graph rebuild,
-    SURVEY section 3.5)."""
+    SURVEY section 3.5).
 
-    def __init__(self, conf):
+    Under edge sharding (``n_edge_shards > 1``) edge capacities are rounded
+    up so every shard's slice stays CHUNK-aligned — the Pallas kernels'
+    layout contract holds per shard."""
+
+    def __init__(self, conf, n_edge_shards: int = 1):
+        from gasfm_tpu.graph.view_graph import CHUNK
+
         self.growth = conf.get_float("compile.edge_bucket_growth", default=1.3)
         self.cam_multiple = conf.get_int("compile.view_bucket_multiple", default=8)
         self.pt_multiple = conf.get_int("compile.point_bucket_multiple", default=256)
+        self.edge_multiple = CHUNK * max(int(n_edge_shards), 1)
 
     def __call__(self, data: SceneData):
         return data.to_scene_graph(
             cam_multiple=self.cam_multiple,
             pt_multiple=self.pt_multiple,
+            edge_multiple=self.edge_multiple,
             growth=self.growth,
         )
 
@@ -85,7 +93,16 @@ class TrainingSession:
         self.model = model
         self.loss_func = get_loss_func(conf)
         self.tx, self.schedule = build_optimizer(conf, milestone_shift=milestone_shift)
-        self.bucketize = GraphBucketizer(conf)
+
+        # Multi-chip execution (conf `parallel.mesh_shape = [data, edge]`):
+        # the production train/eval steps run edge-partitioned over the mesh
+        # via shard_map; single-chip otherwise. See parallel/edge_sharding.py.
+        from gasfm_tpu.parallel import DATA_AXIS, EDGE_AXIS, mesh_from_conf
+
+        self.mesh = mesh_from_conf(conf)
+        self.n_data = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        self.n_edge = self.mesh.shape[EDGE_AXIS] if self.mesh is not None else 1
+        self.bucketize = GraphBucketizer(conf, n_edge_shards=self.n_edge)
 
         # Pallas kernel matmul precision (trace-time; see ops/segment.py).
         from gasfm_tpu.ops.segment import set_kernel_precision
@@ -98,6 +115,17 @@ class TrainingSession:
 
         self._grad_fn = jax.jit(jax.value_and_grad(_loss, has_aux=True))
         self._fwd_fn = jax.jit(model.apply)
+
+        if self.mesh is not None:
+            from gasfm_tpu.parallel import (
+                make_sharded_forward,
+                make_sharded_fused_step,
+                make_sharded_grad_step,
+            )
+
+            self._sharded_fused_fn = make_sharded_fused_step(conf, model, self.mesh, tx=self.tx)
+            self._sharded_grad_fn = make_sharded_grad_step(conf, model, self.mesh)
+            self._sharded_fwd_fn = make_sharded_forward(conf, model, self.mesh)
 
         def _update(params, opt_state, grads):
             grad_norm = optax.global_norm(grads)
@@ -135,7 +163,20 @@ class TrainingSession:
         self._fused_step_fn = jax.jit(_fused_step, donate_argnums=(0, 1))
 
     def fused_step(self, params, opt_state, scene):
-        return self._fused_step_fn(params, opt_state, scene)
+        if self.mesh is None:
+            return self._fused_step_fn(params, opt_state, scene)
+        params, opt_state, loss, repro, _, grad_norm = self.fused_group_step(
+            params, opt_state, [scene]
+        )
+        return params, opt_state, loss, repro, grad_norm
+
+    def fused_group_step(self, params, opt_state, scenes):
+        """Multi-chip single-dispatch update over <= n_data valid scenes
+        (weight-padded to the data-axis size; padded slots contribute 0)."""
+        from gasfm_tpu.parallel import pad_scene_group
+
+        batched, weights = pad_scene_group(scenes, self.n_data)
+        return self._sharded_fused_fn(params, opt_state, batched, jnp.asarray(weights))
 
     def core_errors(self, pred, scene):
         """On-device our_repro (one scalar fetch; see core_errors_device)."""
@@ -145,11 +186,25 @@ class TrainingSession:
         return float(self._sched_cpu(step))
 
     def loss_and_grads(self, params, scene):
-        (loss, pred), grads = self._grad_fn(params, scene)
+        if self.mesh is None:
+            (loss, pred), grads = self._grad_fn(params, scene)
+            return loss, pred, grads
+        from gasfm_tpu.parallel import pad_scene_group
+
+        batched, weights = pad_scene_group([scene], self.n_data)
+        loss, _, grads, pred_b = self._sharded_grad_fn(params, batched, jnp.asarray(weights))
+        pred = jax.tree_util.tree_map(lambda x: x[0], pred_b)
         return loss, pred, grads
 
     def forward(self, params, scene):
-        return self._fwd_fn(params, scene.graph)
+        if self.mesh is None:
+            return self._fwd_fn(params, scene.graph)
+        from gasfm_tpu.parallel import stack_scene_graphs
+
+        # Every data-group evaluates the same scene (replicated compute over
+        # the data axis; edge-partitioned within each group).
+        batched = stack_scene_graphs([scene] * self.n_data)
+        return self._sharded_fwd_fn(params, batched)
 
     def accumulate(self, grads_a, grads_b):
         return self._acc_fn(grads_a, grads_b)
@@ -252,11 +307,17 @@ def epoch_train(
     # per-step device->host round trip — tens of ms over a tunneled runtime —
     # overlaps compute instead of serializing the loop. TB rows keep their
     # correct step indices; they are merely WRITTEN one batch late.
+    loss_totals = {"sum": 0.0, "n": 0}
+
     def _flush(pnd):
         losses = [float(x) for x in pnd["loss_parts"]]
         train_losses.extend(losses)
         batch_loss = float(sum(losses))
         n = pnd["n"]
+        # Per-SAMPLE mean bookkeeping: a multi-chip fused group contributes
+        # one summed loss entry for n samples, so the mean must weight by n.
+        loss_totals["sum"] += batch_loss
+        loss_totals["n"] += n
         batch_mean_repro = (
             float(sum(float(x) for x in pnd["repro_parts"])) / n if (explicit and n) else 0.0
         )
@@ -303,15 +364,36 @@ def epoch_train(
 
         device_metrics = explicit and not calc_backproj and outlier_injection_rate is None
         valid_samples = [(cd, sg) for cd, sg in prepared_batch if sg is not None]
-        if device_metrics and len(valid_samples) == 1:
-            # Dominant case (batch of one valid sample): grad + update +
-            # on-device metrics as ONE dispatch — separate jitted calls each
-            # cost multi-ms of host-side argument processing per step.
-            curr_data, scene_graph = valid_samples[0]
-            curr_scene_name = curr_data.scene_name
-            params, opt_state, loss, repro, grad_norm = session.fused_step(
-                params, opt_state, scene_graph
-            )
+
+        # Single-dispatch fused path: grad + update + on-device metrics as
+        # ONE dispatch — separate jitted calls each cost multi-ms of
+        # host-side argument processing per step. Single-chip: batches of one
+        # valid sample (the dominant case). Multi-chip: any batch of up to
+        # data-axis-size same-capacity samples (weight-padded scene groups).
+        fused_group = None
+        if device_metrics and valid_samples:
+            if session.mesh is None:
+                if len(valid_samples) == 1:
+                    fused_group = valid_samples
+            elif len(valid_samples) <= session.n_data:
+                caps = {
+                    (sg.graph.num_cams, sg.graph.num_pts, sg.graph.num_edges)
+                    for _, sg in valid_samples
+                }
+                if len(caps) == 1:
+                    fused_group = valid_samples
+        if fused_group is not None:
+            curr_scene_name = fused_group[-1][0].scene_name
+            if session.mesh is None:
+                params, opt_state, loss, repro, grad_norm = session.fused_step(
+                    params, opt_state, fused_group[0][1]
+                )
+            else:
+                params, opt_state, loss, repro, _, grad_norm = session.fused_group_step(
+                    params, opt_state, [sg for _, sg in fused_group]
+                )
+            # loss/repro are sums over the group's samples; with one sample
+            # per batch (the reference's dominant shape) they are per-sample.
             loss_parts.append(_host_async(loss))
             repro_parts.append(_host_async(repro))
             _host_async(grad_norm)
@@ -321,7 +403,7 @@ def epoch_train(
                 "loss_parts": loss_parts,
                 "repro_parts": repro_parts,
                 "backproj_parts": backproj_parts,
-                "n": 1,
+                "n": len(fused_group),
                 "step_idx": prev_n_batches + batch_idx,
                 "scene_name": curr_scene_name,
                 "lr": session.lr_at(n_updates),
@@ -377,7 +459,9 @@ def epoch_train(
     if pending is not None:
         _flush(pending)
     n_batches = batch_idx + 1
-    mean_loss = float(np.mean(train_losses)) if train_losses else float("nan")
+    mean_loss = (
+        loss_totals["sum"] / loss_totals["n"] if loss_totals["n"] else float("nan")
+    )
     return params, opt_state, n_updates, mean_loss, train_losses, n_batches
 
 
