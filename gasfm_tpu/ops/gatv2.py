@@ -95,15 +95,14 @@ def gatv2_attend(
     # logits, online segment softmax, weighted aggregation — runs as ONE
     # Pallas launch forward and one backward (gasfm_tpu/ops/pallas/
     # fused_attn.py), instead of 4+ launches with E-sized HBM intermediates.
-    # NOTE: gated on single-shard execution — under edge partitioning the
-    # softmax max/den must be combined across shards (the composite path does
-    # this via the collective-aware segment ops); a collective fused variant
-    # would finalize num/m/den after a pmax/psum exchange.
+    # Under edge partitioning the kernel runs unfinalized per shard and the
+    # softmax (num, m, den) triples combine with pmax/psum over the edge
+    # mesh axis (fused_attn.combine_attention_shards) — the distributed
+    # segment-softmax exchange of SURVEY section 5, riding ICI.
     from gasfm_tpu.ops.segment import current_edge_axis
 
     if (
         _kernels_enabled()
-        and current_edge_axis() is None
         and xl2.dtype == jnp.float32
         and E % _CHUNK == 0
         and (window is not None or num_segments <= _DENSE_MAX_SEGMENTS)
@@ -127,6 +126,7 @@ def gatv2_attend(
         out2 = fused_attend_h(
             H, xl2, xr2, att.reshape(1, H * C), ids[:, None], wb,
             num_segments, W, negative_slope, _kernel_interpret(),
+            edge_axis=current_edge_axis(),
         )
         if window is not None and window.row_ok is not None:
             out2 = jnp.where(window.row_ok[:, None], out2, 0.0)
@@ -194,7 +194,6 @@ def gatv2_attend_dual(
     Hc, Cc = xl_c.shape[1], xl_c.shape[2]
     if (
         _kernels_enabled()
-        and current_edge_axis() is None
         and window is not None
         and xl_p.dtype == jnp.float32
         and xl_c.dtype == jnp.float32
@@ -220,6 +219,7 @@ def gatv2_attend_dual(
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
             pids[:, None], cids[:, None], window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
+            edge_axis=current_edge_axis(),
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
@@ -278,7 +278,6 @@ def gatv2_layer_frontend(
     Hc, Cc = xr_c.shape[1], xr_c.shape[2]
     if (
         _kernels_enabled()
-        and current_edge_axis() is None
         and window is not None
         and e_raw.dtype == jnp.float32
         and E % _CHUNK == 0
@@ -303,6 +302,7 @@ def gatv2_layer_frontend(
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
             pids[:, None], cids[:, None], window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
+            edge_axis=current_edge_axis(),
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)

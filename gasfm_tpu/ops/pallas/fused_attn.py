@@ -67,6 +67,52 @@ def _head_selector(H: int, C: int, HP: int) -> np.ndarray:
     return s
 
 
+def _expand_heads(a: jnp.ndarray, H: int, C: int) -> jnp.ndarray:
+    """(HP, S) per-head rows -> (S, H*C) head-major flat broadcast."""
+    out = a[:H].T  # (S, H)
+    return jnp.repeat(out, C, axis=1) if C > 1 else out
+
+
+def combine_attention_shards(num, md, HP, H, C, edge_axis, wb=None, W=None):
+    """Cross-shard finalization of the online-softmax attention partials.
+
+    This is the distributed segment-softmax exchange of SURVEY section 5:
+    each edge shard's fused kernel (run with ``finalize=False``) leaves
+    ``num`` = running weighted sums relative to its local max and
+    ``md`` = stacked (m_local (HP, S), den_local (HP, S)). The shards'
+    triples combine exactly with one ``pmax`` + one ``psum`` over the edge
+    mesh axis (ICI):
+
+        m_g   = pmax(m_local)
+        den_g = psum(den_local * exp(m_local - m_g))
+        num_g = psum(num_local * exp(m_local - m_g))
+        out   = num_g / den_g   (0 where den_g == 0)
+
+    ``wb`` (the local chunk->window map) marks window blocks this shard
+    never visited: their kernel rows are uninitialized and must be masked
+    to the combine's neutral values first. Returns (out_full, md_global)
+    with md_global = [m_g; den_g] so the UNMODIFIED backward kernel — which
+    only reads (m, den, out) — computes exactly this shard's cotangent
+    contribution under the global softmax.
+    """
+    s_pad = num.shape[0]
+    m_loc = md[0:HP]  # (HP, s_pad)
+    den_loc = md[HP : 2 * HP]
+    if wb is not None:
+        visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+        vis = jnp.repeat(visited, W)  # (s_pad,)
+        m_loc = jnp.where(vis[None, :], m_loc, _NEG)
+        den_loc = jnp.where(vis[None, :], den_loc, 0.0)
+        num = jnp.where(vis[:, None], num, 0.0)
+    m_g = jax.lax.pmax(m_loc, edge_axis)
+    corr = jnp.exp(m_loc - m_g)  # exp(_NEG - _NEG) = 1 is fine: den/num are 0
+    den_g = jax.lax.psum(den_loc * corr, edge_axis)
+    num_g = jax.lax.psum(num * _expand_heads(corr, H, C), edge_axis)
+    inv = jnp.where(den_g > 0, 1.0 / jnp.maximum(den_g, 1e-38), 0.0)
+    out_full = num_g * _expand_heads(inv, H, C)
+    return out_full, jnp.concatenate([m_g, den_g], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -74,7 +120,7 @@ def _head_selector(H: int, C: int, HP: int) -> np.ndarray:
 
 def _fused_attn_fwd_kernel(
     wb_ref, ids_ref, xl_ref, xr_ref, att_ref, ssel_ref, out_ref, md_ref,
-    *, W: int, HP: int, slope: float, mm_dtype,
+    *, W: int, HP: int, slope: float, mm_dtype, finalize: bool = True,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -152,19 +198,21 @@ def _fused_attn_fwd_kernel(
     md_ref[0:HP, :] = m_new
     md_ref[HP : 2 * HP, :] = den_new
 
-    @pl.when(last)
-    def _():
-        den = md_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
-        inv_wd = jax.lax.dot_general(
-            inv, ssel_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[:] = out_ref[:] * inv_wd
+    if finalize:
+        @pl.when(last)
+        def _():
+            den = md_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, ssel_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[:] = out_ref[:] * inv_wd
 
 
-@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "mm", "interpret"))
-def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", interpret=False):
+@functools.partial(jax.jit, static_argnames=("W", "H", "slope", "mm", "interpret", "finalize"))
+def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", interpret=False,
+                        finalize=True):
     E, D = xl2.shape
     assert E % _CHUNK == 0 and D % H == 0
     C = D // H
@@ -190,7 +238,8 @@ def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", int
         ],
     )
     out, md = pl.pallas_call(
-        functools.partial(_fused_attn_fwd_kernel, W=W, HP=HP, slope=slope, mm_dtype=mm_dtype),
+        functools.partial(_fused_attn_fwd_kernel, W=W, HP=HP, slope=slope,
+                          mm_dtype=mm_dtype, finalize=finalize),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_pad, D), jnp.float32),
@@ -345,28 +394,47 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
 
 def make_fused_attend(H: int, mm: str = "f32"):
     """Build the custom-VJP fused attention entry point for `H` heads at
-    matmul precision `mm` ("f32" | "bf16", see ops/segment.py)."""
+    matmul precision `mm` ("f32" | "bf16", see ops/segment.py).
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-    def attend(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
-        out, _ = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)
+    ``edge_axis``: mesh axis name when the edge arrays are sharded across
+    devices (None single-shard). With an axis, the forward runs the local
+    kernel unfinalized and combines (num, m, den) across shards
+    (:func:`combine_attention_shards`); the backward kernel is unchanged —
+    fed the global (m, den, out) it emits this shard's exact local
+    cotangents (table/parameter cotangents are per-shard partials, summed
+    by the train step's trailing grad psum)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+    def attend(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
+               edge_axis):
+        out, _ = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope,
+                          interpret, edge_axis)
         return out
 
-    def _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
+    def _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
+                 edge_axis):
         s_pad = _round_up(num_segments, W)
         xr_p = xr2 if xr2.shape[0] == s_pad else jnp.pad(
             xr2, ((0, s_pad - xr2.shape[0]), (0, 0))
         )
         out_full, md = _fused_attn_fwd_raw(
-            xl2, xr_p, att_row, ids2d, wb, W, H, slope, mm=mm, interpret=interpret
+            xl2, xr_p, att_row, ids2d, wb, W, H, slope, mm=mm, interpret=interpret,
+            finalize=edge_axis is None,
         )
+        if edge_axis is not None:
+            HP = _round_up(max(H, 1), 8)
+            out_full, md = combine_attention_shards(
+                out_full, md, HP, H, xl2.shape[1] // H, edge_axis, wb=wb, W=W
+            )
         return out_full[:num_segments], (xl2, xr_p, att_row, ids2d, wb, out_full, md)
 
-    def _fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret):
-        out, res = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)
+    def _fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
+             edge_axis):
+        out, res = _run_fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope,
+                            interpret, edge_axis)
         return out, res
 
-    def _bwd(num_segments, W, slope, interpret, res, g):
+    def _bwd(num_segments, W, slope, interpret, edge_axis, res, g):
         xl2, xr_p, att_row, ids2d, wb, out_full, md = res
         s_pad = xr_p.shape[0]
         g_p = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
@@ -389,7 +457,7 @@ _ATTEND_CACHE = {}
 
 
 def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
-                   W, slope=0.2, interpret=False):
+                   W, slope=0.2, interpret=False, edge_axis=None):
     """Fused segment attention specialized per (head count, matmul precision).
     Matmul precision is read from ops.segment.get_kernel_precision() at trace
     time.
@@ -411,4 +479,5 @@ def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
     if fn is None:
         fn = make_fused_attend(*key)
         _ATTEND_CACHE[key] = fn
-    return fn(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret)
+    return fn(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
+              edge_axis)

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
+from gasfm_tpu.ops.pallas.fused_attn import combine_attention_shards
 
 _NEG = -1e30
 
@@ -79,7 +80,7 @@ def _dual_fwd_kernel(
     wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     outp_ref, outc_ref, mdp_ref, mdc_ref,
-    *, W: int, Wc: int, HP: int, slope: float,
+    *, W: int, Wc: int, HP: int, slope: float, finalize: bool = True,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -185,30 +186,32 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(last_w)
-    def _():
-        den = mdp_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
-        inv_wd = jax.lax.dot_general(
-            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outp_ref[:] = outp_ref[:] * inv_wd
+    if finalize:
+        @pl.when(last_w)
+        def _():
+            den = mdp_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outp_ref[:] = outp_ref[:] * inv_wd
 
-    @pl.when(c == nc - 1)
-    def _():
-        den = mdc_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
-        inv_wd = jax.lax.dot_general(
-            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outc_ref[:] = outc_ref[:] * inv_wd
+        @pl.when(c == nc - 1)
+        def _():
+            den = mdc_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outc_ref[:] = outc_ref[:] * inv_wd
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret",
+                                             "finalize"))
 def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
-                  W, Wc, Hp, Hc, slope, interpret=False):
+                  W, Wc, Hp, Hc, slope, interpret=False, finalize=True):
     E, Dp = xlp.shape
     Dc = xlc.shape[1]
     assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
@@ -243,7 +246,8 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
         ],
     )
     outp, outc, mdp, mdc = pl.pallas_call(
-        functools.partial(_dual_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope),
+        functools.partial(_dual_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope,
+                          finalize=finalize),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
@@ -471,17 +475,25 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
 
 
 def make_fused_dual_attend(Hp: int, Hc: int):
-    """Custom-VJP dual attention for (Hp point heads, Hc camera heads)."""
+    """Custom-VJP dual attention for (Hp point heads, Hc camera heads).
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+    ``edge_axis``: mesh axis name under edge partitioning (None single-shard).
+    With an axis, the local kernel runs unfinalized and both directions'
+    (num, m, den) triples combine across shards via pmax/psum over ICI
+    (fused_attn.combine_attention_shards); the backward kernel needs no
+    change — fed global (m, den, out), each shard emits its exact local
+    cotangent contribution."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
     def attend(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-               n_pts, n_cams, W, Wc, slope, interpret):
+               n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         (op, oc), _ = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
-                               cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
+                               cids2d, wb, n_pts, n_cams, W, Wc, slope,
+                               interpret, edge_axis)
         return op, oc
 
     def _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-                 n_pts, n_cams, W, Wc, slope, interpret):
+                 n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         s_pad = _round_up(n_pts, W)
         xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
             xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
@@ -492,18 +504,37 @@ def make_fused_dual_attend(Hp: int, Hc: int):
         outp, outc, mdp, mdc = _dual_fwd_raw(
             xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
             W, Wc, Hp, Hc, slope, interpret=interpret,
+            finalize=edge_axis is None,
         )
+        if edge_axis is not None:
+            HP = _round_up(Hp + Hc, 8)
+            outp, mdp = combine_attention_shards(
+                outp, mdp, HP, Hp, xl_p.shape[1] // Hp, edge_axis, wb=wb, W=W
+            )
+            # Camera heads live in md columns Hp..Hp+Hc-1; roll them to the
+            # front so the combiner's [:H] slice picks the right rows.
+            mdc_r = jnp.concatenate([
+                mdc[Hp : Hp + Hc], mdc[HP + Hp : HP + Hp + Hc]
+            ], axis=0)
+            outc, mdc_g = combine_attention_shards(
+                outc, mdc_r, Hc, Hc, xl_c.shape[1] // Hc, edge_axis
+            )
+            # Rebuild the (2*HP, Wc) layout the backward kernel expects.
+            mdc = jnp.zeros_like(mdc)
+            mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
+            mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
         res = (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d,
                wb, outp, outc, mdp, mdc)
         return (outp[:n_pts], outc[:n_cams]), res
 
     def _fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-             n_pts, n_cams, W, Wc, slope, interpret):
+             n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         out, res = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
-                            cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
+                            cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+                            edge_axis)
         return out, res
 
-    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, res, g):
+    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
         gp_out, gc_out = g
         (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
          outp, outc, mdp, mdc) = res
@@ -538,7 +569,7 @@ _DUAL_CACHE = {}
 
 def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
                       pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                      slope=0.2, interpret=False):
+                      slope=0.2, interpret=False, edge_axis=None):
     """Dual fused segment attention specialized per head counts.
 
     xl_p: (E, Dp) point-side source-transformed edge features (head-major).
@@ -558,7 +589,7 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
         fn = make_fused_dual_attend(*key)
         _DUAL_CACHE[key] = fn
     return fn(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-              n_pts, n_cams, W, Wc, slope, interpret)
+              n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +614,7 @@ def _front_fwd_kernel(
     wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
-    *, W: int, Wc: int, HP: int, slope: float, eps: float,
+    *, W: int, Wc: int, HP: int, slope: float, eps: float, finalize: bool = True,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -695,30 +726,33 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(last_w)
-    def _():
-        den = mdp_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
-        inv_wd = jax.lax.dot_general(
-            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outp_ref[:] = outp_ref[:] * inv_wd
+    if finalize:
+        @pl.when(last_w)
+        def _():
+            den = mdp_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outp_ref[:] = outp_ref[:] * inv_wd
 
-    @pl.when(c == nc - 1)
-    def _():
-        den = mdc_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
-        inv_wd = jax.lax.dot_general(
-            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outc_ref[:] = outc_ref[:] * inv_wd
+        @pl.when(c == nc - 1)
+        def _():
+            den = mdc_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outc_ref[:] = outc_ref[:] * inv_wd
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
+                                             "finalize"))
 def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                   pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False):
+                   pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False,
+                   finalize=True):
     E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
@@ -761,7 +795,8 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         ],
     )
     en, outp, outc, mdp, mdc = pl.pallas_call(
-        functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps),
+        functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
+                          finalize=finalize),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, De), jnp.float32),
@@ -1052,18 +1087,23 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
 def make_fused_frontend(Hp: int, Hc: int, eps: float):
     """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
     attention). Differentiable in (e, ln scale/bias, both source
-    kernels/biases, both attention vectors, both query tables)."""
+    kernels/biases, both attention vectors, both query tables).
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
+    ``edge_axis``: see :func:`make_fused_dual_attend` — LN/ReLU are per-edge
+    (shard-local); only the attention triples combine across shards."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
     def front(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+              edge_axis):
         (en, op, oc), _ = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
                                att_p, att_c, pids2d, cids2d, wb, n_pts,
-                               n_cams, W, Wc, slope, interpret)
+                               n_cams, W, Wc, slope, interpret, edge_axis)
         return en, op, oc
 
     def _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+             edge_axis):
         s_pad = _round_up(n_pts, W)
         xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
             xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
@@ -1074,19 +1114,35 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float):
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=interpret,
+            finalize=edge_axis is None,
         )
+        if edge_axis is not None:
+            HP = _round_up(Hp + Hc, 8)
+            outp, mdp = combine_attention_shards(
+                outp, mdp, HP, Hp, wlp.shape[1] // Hp, edge_axis, wb=wb, W=W
+            )
+            mdc_r = jnp.concatenate([
+                mdc[Hp : Hp + Hc], mdc[HP + Hp : HP + Hp + Hc]
+            ], axis=0)
+            outc, mdc_g = combine_attention_shards(
+                outc, mdc_r, Hc, Hc, wlc.shape[1] // Hc, edge_axis
+            )
+            mdc = jnp.zeros_like(mdc)
+            mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
+            mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
         res = (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p,
                att_c, pids2d, cids2d, wb, outp, outc, mdp, mdc)
         return (en, outp[:n_pts], outc[:n_cams]), res
 
     def _fwd(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret):
+             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+             edge_axis):
         out, res = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p,
                         att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                        slope, interpret)
+                        slope, interpret, edge_axis)
         return out, res
 
-    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, res, g):
+    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
         gen, gp_out, gc_out = g
         (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
          pids2d, cids2d, wb, outp, outc, mdp, mdc) = res
@@ -1120,7 +1176,7 @@ _FRONT_CACHE = {}
 
 def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
                    att_p, att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                   slope=0.2, interpret=False):
+                   slope=0.2, interpret=False, edge_axis=None):
     """LN + ReLU + both GATv2 source transforms + dual attention, fused.
 
     e: (E, De) RAW edge features; lng/lnb: (1, De) LayerNorm scale/bias;
@@ -1135,4 +1191,5 @@ def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
         fn = make_fused_frontend(Hp, Hc, float(eps))
         _FRONT_CACHE[key] = fn
     return fn(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret)
+              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+              edge_axis)

@@ -260,3 +260,91 @@ class TestProductionMeshTrainer:
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(a).max(), 1e-3)
             np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=2e-3)
+
+
+class TestCollectiveFusedKernels:
+    """The fused Pallas attention kernels under edge partitioning (VERDICT
+    round 1, item 3): each shard runs the kernel unfinalized and the softmax
+    (num, max, den) triples combine across shards with pmax/psum
+    (ops/pallas/fused_attn.combine_attention_shards). Interpret mode on a
+    2-shard CPU mesh must match the single-device composite XLA path on
+    forward AND gradients."""
+
+    def test_sharded_frontend_matches_composite(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.ops.gatv2 import gatv2_layer_frontend
+        from gasfm_tpu.ops.segment import SegmentWindows, edge_partitioned
+
+        data = generate_synthetic_scene(n_views=6, n_points=120, seed=0)
+        # 2 shards x 2 chunks of 512: every shard's slice is CHUNK-aligned.
+        scene = data.to_scene_graph(caps=(8, 256, 2048))
+        g = scene.graph
+        E, De = g.num_edges, 8
+        Hp = Hc = 2
+        Dp = Dc = 8
+        rng = np.random.default_rng(0)
+        r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
+        e_raw = r(E, De)
+        ln_s, ln_b = r(De), r(De)
+        wlp, blp, wlc, blc = r(De, Dp) * 0.3, r(Dp) * 0.1, r(De, Dc) * 0.3, r(Dc) * 0.1
+        att_p, att_c = r(Hp, Dp // Hp), r(Hc, Dc // Hc)
+        xr_p = r(g.num_pts, Hp, Dp // Hp)
+        xr_c = r(g.num_cams, Hc, Dc // Hc)
+
+        def run(e_raw, xr_p, xr_c, window, pt_ids, cam_ids, edge_mask):
+            return gatv2_layer_frontend(
+                e_raw, ln_s, ln_b, 1e-5,
+                wlp, blp, att_p, xr_p, pt_ids, g.num_pts, window,
+                wlc, blc, att_c, xr_c, cam_ids, g.num_cams, edge_mask=edge_mask,
+            )
+
+        def loss_of(e_raw, xr_p, xr_c, window, pt_ids, cam_ids, edge_mask):
+            en, out_p, out_c = run(e_raw, xr_p, xr_c, window, pt_ids, cam_ids, edge_mask)
+            return jnp.sum(en**2) * 0.001 + jnp.sum(out_p**2) + jnp.sum(out_c**2)
+
+        window = g.pt_segment_windows()
+        prev_mode = seg.get_kernel_mode()
+        try:
+            seg.set_kernel_mode("off")
+            ref_out = run(e_raw, xr_p, xr_c, window, g.pt_idx, g.cam_idx, g.edge_mask)
+            ref_grads = jax.grad(loss_of, argnums=(0, 1, 2))(
+                e_raw, xr_p, xr_c, window, g.pt_idx, g.cam_idx, g.edge_mask
+            )
+
+            seg.set_kernel_mode("interpret")
+            mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("edge",))
+
+            def per_device(e_raw, pt_ids, cam_ids, edge_mask, pt_window, xr_p, xr_c):
+                wb = pt_window.reshape(-1, 512)[:, 0]
+                row_ok = jnp.repeat(g.pt_block_visited, 128)[: g.num_pts]
+                win = SegmentWindows(block=wb, row_ok=row_ok)
+                with edge_partitioned("edge"):
+                    en, out_p, out_c = run(e_raw, xr_p, xr_c, win, pt_ids, cam_ids, edge_mask)
+                    grads = jax.grad(loss_of, argnums=(0, 1, 2))(
+                        e_raw, xr_p, xr_c, win, pt_ids, cam_ids, edge_mask
+                    )
+                g_e, g_xrp, g_xrc = grads
+                # Table cotangents are per-shard partials (summed like grads).
+                return (en, out_p, out_c, g_e,
+                        jax.lax.psum(g_xrp, "edge"), jax.lax.psum(g_xrc, "edge"))
+
+            sharded = jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P("edge"), P("edge"), P("edge"), P("edge"), P("edge"), P(), P()),
+                out_specs=(P("edge"), P(), P(), P("edge"), P(), P()),
+                check_vma=False,
+            )
+            outs = jax.jit(sharded)(
+                e_raw, g.pt_idx, g.cam_idx, g.edge_mask, g.pt_window, xr_p, xr_c
+            )
+        finally:
+            seg.set_kernel_mode(prev_mode)
+
+        refs = list(ref_out) + list(ref_grads)
+        names = ["en", "out_p", "out_c", "g_e", "g_xrp", "g_xrc"]
+        for name, a, b in zip(names, refs, outs):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=2e-5 * scale, err_msg=name)
