@@ -680,7 +680,9 @@ class GraphAttnLayer(nn.Module):
                 ln_params=(ln_scale, ln_bias, LN_EPS),
             )
         else:
-            x = nn.relu(normalize_edge_features(raw, graph.edge_mask, None))
+            # Parity (reference layers.py:228-234): with use_norm_proj_update
+            # False the edge features get ReLU only — no normalization.
+            x = nn.relu(raw)
             s, v, g = global_update(
                 x,
                 graph,

@@ -1,0 +1,179 @@
+"""Full-network activation parity against the self-contained torch oracles
+(tests/torch_oracle.py) with transplanted weights.
+
+The oracle reproduces the reference nets with reference state_dict naming
+(code/models/graph_attn_sfm.py:117-185, SetOfSet.py:102-142,
+layers.py:150-956), weights are converted with
+gasfm_tpu.models.convert.convert_reference_state_dict — the exact converter
+a user would run on a published reference checkpoint — and both networks run
+on the same scene. Per-layer edge/point/view/global streams and the decoded
+outputs must agree (VERDICT round 1, item 4)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from gasfm_tpu.data.synthetic import generate_synthetic_scene
+from gasfm_tpu.models.convert import convert_reference_state_dict
+from gasfm_tpu.models.gasfm import GraphAttnSfMNet
+from gasfm_tpu.models.set_of_set import SetOfSetNet
+
+import torch_oracle as oracle
+
+torch.set_default_dtype(torch.float64)
+
+
+def make_scene():
+    data = generate_synthetic_scene(n_views=6, n_points=48, seed=3)
+    return data.to_scene_graph()
+
+
+def oracle_graph_from(scene):
+    """Masked edges of the padded ViewGraph, re-sorted to torch-COO coalesced
+    (camera-major) order — the order the reference presents edges in."""
+    g = scene.graph
+    mask = np.asarray(g.edge_mask)
+    cam = np.asarray(g.cam_idx)[mask]
+    pt = np.asarray(g.pt_idx)[mask]
+    uv = np.asarray(g.uv)[mask]
+    order = np.lexsort((pt, cam))  # row-major: sort by (cam, pt)
+    m = int(g.m_true)
+    n = int(g.n_true)
+    return oracle.OracleGraph(
+        values=torch.tensor(np.asarray(uv[order], dtype=np.float64)),
+        cam_idx=torch.tensor(cam[order], dtype=torch.long),
+        pt_idx=torch.tensor(pt[order], dtype=torch.long),
+        m=m,
+        n=n,
+        view_valid=torch.tensor(np.asarray(g.cam_valid)[:m]),
+        pt_valid=torch.tensor(np.asarray(g.pt_valid)[:n]),
+    ), order, mask
+
+
+def assert_close(name, ref, got, tol=2e-4):
+    ref = np.asarray(ref, dtype=np.float64)
+    got = np.asarray(got, dtype=np.float64)
+    assert ref.shape == got.shape, (name, ref.shape, got.shape)
+    scale = max(np.abs(ref).max(), 1e-3)
+    np.testing.assert_allclose(got, ref, atol=tol * scale, err_msg=name)
+
+
+COMMON = dict(
+    num_layers=3, n_heads=2, n_feat_proj=12, n_feat_scenepoint=16,
+    n_feat_view=24, n_feat_global=32, stateful_global_features=True,
+    add_skipconn_from_init_projfeat=True, use_norm_proj_update=True,
+    add_residual_skipconn_proj_update=True,
+    n_hidden_layers_scenepoint_update=1, n_hidden_layers_view_update=1,
+    n_hidden_layers_global_update=1, n_hidden_layers_proj_update=1,
+    view_head_n_hidden_layers=1, scenepoint_head_n_hidden_layers=1,
+)
+
+
+class TestGraphAttnFullModelParity:
+    @pytest.mark.parametrize("g2vs", [False, True])
+    def test_transplanted_weights_match(self, g2vs):
+        torch.manual_seed(0)
+        ref = oracle.GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=g2vs, **COMMON)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref, inter = ref(og, return_intermediates=True)
+
+        params = convert_reference_state_dict(
+            ref.state_dict(), "graph_attn_sfm.GraphAttnSfMNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=g2vs, **COMMON)
+
+        # Structural check: converted tree must match the model's init tree.
+        init = model.init(jax.random.PRNGKey(0), scene.graph)
+        ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(init)[0]}
+        got_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                     jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert ref_paths == got_paths
+
+        pred, state = model.apply(params, scene.graph, capture_intermediates=True)
+
+        # Per-layer streams.
+        inters = state["intermediates"]
+        m, n = og.m, og.n
+        for i, (e_ref, s_ref, v_ref, g_ref) in enumerate(inter):
+            e_jax, s_jax, v_jax, g_jax = inters[f"equivariant_blocks_{i}"]["__call__"][0]
+            e_jax = np.asarray(e_jax)[mask][order]
+            assert_close(f"layer{i}/edges", e_ref, e_jax)
+            assert_close(f"layer{i}/points", s_ref, np.asarray(s_jax)[:n])
+            assert_close(f"layer{i}/views", v_ref, np.asarray(v_jax)[:m])
+            assert_close(f"layer{i}/global", g_ref, g_jax)
+
+        assert_close("Ps_norm", pred_ref["Ps_norm"], np.asarray(pred["Ps_norm"])[:m])
+        assert_close("pts3D", pred_ref["pts3D"], np.asarray(pred["pts3D"])[:, :n])
+
+    def test_depth_head_and_6d(self):
+        torch.manual_seed(1)
+        kw = dict(COMMON)
+        kw.update(depth_head_enabled=True, depth_head_n_feat=20,
+                  depth_head_n_hidden_layers=1, rot_representation="6d")
+        ref = oracle.GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref = ref(og)
+        params = convert_reference_state_dict(
+            ref.state_dict(), "graph_attn_sfm.GraphAttnSfMNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        pred = model.apply(params, scene.graph)
+        assert_close("Ps_norm", pred_ref["Ps_norm"],
+                     np.asarray(pred["Ps_norm"])[: og.m])
+        assert_close("depths", pred_ref["depths"],
+                     np.asarray(pred["depths"])[mask][order])
+
+    def test_projective_chirality(self):
+        torch.manual_seed(2)
+        kw = dict(COMMON)
+        kw.update(calibrated=False, normalize_output="Chirality")
+        ref = oracle.GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref = ref(og)
+        params = convert_reference_state_dict(
+            ref.state_dict(), "graph_attn_sfm.GraphAttnSfMNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        pred = model.apply(params, scene.graph)
+        assert_close("Ps_norm", pred_ref["Ps_norm"],
+                     np.asarray(pred["Ps_norm"])[: og.m], tol=5e-4)
+
+
+class TestSetOfSetFullModelParity:
+    def test_transplanted_weights_match(self):
+        torch.manual_seed(3)
+        kw = dict(num_blocks=2, num_features=16, block_size=2,
+                  view_head_n_hidden_layers=1, scenepoint_head_n_hidden_layers=1)
+        ref = oracle.SetOfSetNet(**kw)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref = ref(og)
+        params = convert_reference_state_dict(
+            ref.state_dict(), "SetOfSet.SetOfSetNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = SetOfSetNet(**kw)
+        init = model.init(jax.random.PRNGKey(0), scene.graph)
+        ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(init)[0]}
+        got_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                     jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert ref_paths == got_paths
+        pred = model.apply(params, scene.graph)
+        assert_close("Ps_norm", pred_ref["Ps_norm"], np.asarray(pred["Ps_norm"])[: og.m])
+        assert_close("pts3D", pred_ref["pts3D"], np.asarray(pred["pts3D"])[:, : og.n])
