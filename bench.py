@@ -9,7 +9,11 @@ reports edge throughput:
 
 ``vs_baseline`` is the fraction of a documented HBM-roofline estimate for
 the dominant per-edge data movement (see _roofline_edges_per_s below) — the
-BASELINE.md target is >= 0.70 of roofline.
+BASELINE.md target is >= 0.70 of roofline. NOTE: the measured binding
+constraint is MXU throughput of the one-hot segment ops plus the
+scene-independent optimizer traffic, not this roofline — the full bound
+analysis and per-op trace evidence live in BENCHLOG.md section 4; the
+denominator is kept for cross-round comparability.
 
 Prints ONE JSON line. Steps are batched inside a single jitted lax.scan so
 dispatch/tunnel latency does not pollute the measurement.
@@ -45,27 +49,22 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
-    import optax
-
     from __graft_entry__ import _flagship_conf
     from gasfm_tpu.data.synthetic import generate_synthetic_scene
     from gasfm_tpu.losses import get_loss_func
     from gasfm_tpu.models import get_model
     from gasfm_tpu.train.state import build_optimizer
+    from gasfm_tpu.utils.benchstep import make_run_steps
 
     conf = _flagship_conf(small=False)
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)
 
-    # NOTE: a bf16 matmul mode exists for the Pallas one-hot kernels
-    # (gasfm_tpu/ops/segment.set_kernel_precision) but measured slower at
-    # these widths — the kernels are VPU/overhead-bound, not MXU-bound, and
-    # the operand casts cost more than the MXU saves. f32 is the fast path.
-
-    # A large scene: ~46k valid edges (m=64 views, n=4096 points).
-    data = generate_synthetic_scene(n_views=64, n_points=4096, visibility=0.2, seed=0)
+    # ~116k valid edges (m=128, n=8192): in the flat region of the measured
+    # scaling curve, with the Adam fixed cost (~5.6 ms on the 110M-param
+    # tree) amortized to ~13% of the step — see BENCHLOG.md sections 1-2.
+    data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
     scene = data.to_scene_graph()
     n_edges = int(scene.graph.e_true)
 
@@ -77,39 +76,14 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     opt_state = tx.init(params)
 
-    STEPS_PER_CALL = 512
+    STEPS_PER_CALL = 128
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames="n")
-    def run_steps(params, opt_state, scene, n):
-        # ``scene`` is closed over from the jit argument (a traced value, so
-        # not an embedded HLO constant) rather than threaded through the scan
-        # carry: XLA double-buffers loop carries, and carrying the invariant
-        # E-sized scene arrays copies them every iteration (measured 4x on
-        # the whole step: 12.4 -> 3.2 ms).
-        def one_step(carry, _):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                return loss_func(model.apply(p, scene.graph), scene)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), None, length=n
-        )
-        # Returning a scalar and fetching it forces completion — on remote
-        # backends block_until_ready can return before execution finishes.
-        return params, opt_state, losses[-1]
+    run_steps = make_run_steps(model, loss_func, tx)
 
     # ONE compiled program (a second scan length would double the cold
-    # trace+compile time, risking the driver's timeout). With 512 steps per
-    # call, per-call dispatch overhead (~5 ms over the tunnel) biases the
-    # per-step time by well under 1%.
+    # trace+compile time, risking the driver's timeout). With 128 steps per
+    # call at ~40 ms each, per-call dispatch overhead (~5 ms over the
+    # tunnel) biases the per-step time by well under 1%.
     _, _, l0 = run_steps(params, opt_state, scene, STEPS_PER_CALL)
     float(l0)
 

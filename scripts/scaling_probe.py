@@ -11,14 +11,14 @@ from __future__ import annotations
 
 import sys
 import time
-from functools import partial
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
 
 import jax
-import optax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from __graft_entry__ import _flagship_conf
@@ -26,6 +26,7 @@ from gasfm_tpu.data.synthetic import generate_synthetic_scene
 from gasfm_tpu.losses import get_loss_func
 from gasfm_tpu.models import get_model
 from gasfm_tpu.train.state import build_optimizer
+from gasfm_tpu.utils.benchstep import make_run_steps
 
 
 def main():
@@ -48,40 +49,25 @@ def main():
         params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
         opt_state = tx.init(params)
 
-        @partial(jax.jit, static_argnames="n")
-        def run_steps(params, opt_state, scene, n):
-            # Invariant scene stays a closed-over jit argument — carrying it
-            # through the scan copies the E-sized arrays every iteration.
-            def one_step(carry, _):
-                params, opt_state = carry
-
-                def loss_fn(p):
-                    return loss_func(model.apply(p, scene.graph), scene)
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                one_step, (params, opt_state), None, length=n)
-            return losses[-1]
+        # The SAME scan-batched step program bench.py measures.
+        run_steps = make_run_steps(model, loss_func, tx)
 
         n = max(8, min(256, int(2e9 / max(n_edges, 1) / 9)))
         t0 = time.perf_counter()
-        float(run_steps(params, opt_state, scene, n))
-        compile_s = time.perf_counter() - t0
+        float(run_steps(params, opt_state, scene, n)[2])
+        # NOTE: includes executing n steps, not just trace+compile.
+        first_call_s = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run_steps(params, opt_state, scene, n))
+            float(run_steps(params, opt_state, scene, n)[2])
             times.append(time.perf_counter() - t0)
         step_ms = min(times) / n * 1e3
         eps = n_edges / (min(times) / n)
         print(f"m={n_views:4d} n={n_points:6d} E={n_edges:8d} "
               f"E_cap={scene.graph.num_edges:8d} steps={n:4d} "
               f"step={step_ms:8.2f} ms  {eps/1e6:7.2f}M edges/s "
-              f"(compile {compile_s:.0f}s)", flush=True)
+              f"(first call {first_call_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

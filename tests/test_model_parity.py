@@ -134,10 +134,34 @@ class TestGraphAttnFullModelParity:
         assert_close("depths", pred_ref["depths"],
                      np.asarray(pred["depths"])[mask][order])
 
-    def test_projective_chirality(self):
+    def test_svd_rotation(self):
+        torch.manual_seed(4)
+        kw = dict(COMMON)
+        kw.update(rot_representation="svd")
+        ref = oracle.GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref = ref(og)
+        params = convert_reference_state_dict(
+            ref.state_dict(), "graph_attn_sfm.GraphAttnSfMNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        pred = model.apply(params, scene.graph)
+        # SVD sign/ordering is stable here (well-separated singular values of
+        # generic head outputs); tolerance covers f32-vs-f64 SVD differences.
+        assert_close("Ps_norm", pred_ref["Ps_norm"],
+                     np.asarray(pred["Ps_norm"])[: og.m], tol=2e-3)
+
+    @pytest.mark.parametrize(
+        "normalize_output", ["Chirality", "Differentiable Chirality", "Frobenius"]
+    )
+    def test_projective_chirality(self, normalize_output):
         torch.manual_seed(2)
         kw = dict(COMMON)
-        kw.update(calibrated=False, normalize_output="Chirality")
+        kw.update(calibrated=False, normalize_output=normalize_output)
         ref = oracle.GraphAttnSfMNet(
             global2view_and_global2scenepoint_enabled=False, **kw)
         scene = make_scene()
