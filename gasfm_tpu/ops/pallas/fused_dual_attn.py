@@ -130,24 +130,22 @@ def _dual_fwd_kernel(
     inwin = jnp.logical_and(local >= 0, local < W)  # (CHUNK, 1)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
 
-    hm = hm_ref[:]  # (2, HP)
+    # Per-edge weights are shifted by the CHUNK max only — no per-edge
+    # gather of the running per-segment max (one full (CHUNK, W) MXU pass
+    # saved per direction). The shift difference is corrected exactly on
+    # the accumulator side: contributions computed relative to m_vec get
+    # multiplied by exp(m_vec - m_new) per (head, segment), a W-sized op.
+    p = jnp.exp(jnp.minimum(logits - m_vec, 0.0))  # (CHUNK, HP)
+
     mp_old = mdp_ref[0:HP, :]
     mc_old = mdc_ref[0:HP, :]
     mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
     mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
     scale_p = jnp.exp(mp_old - mp_new)
     scale_c = jnp.exp(mc_old - mc_new)
-
-    m_e_p = jax.lax.dot_general(
-        oh_p, mp_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, HP)
-    m_e_c = jax.lax.dot_general(
-        oh_c, mc_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
-    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))  # (CHUNK, HP), shared exp
+    # m_new >= m_vec everywhere (max with the broadcast), so corr <= 1.
+    corr_p = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, W)) - mp_new)
+    corr_c = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, Wc)) - mc_new)
 
     p_dp = jax.lax.dot_general(
         p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -162,7 +160,11 @@ def _dual_fwd_kernel(
         scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (W, Dp)
-    outp_ref[:] = outp_ref[:] * scale_p_wd + jax.lax.dot_general(
+    corr_p_wd = jax.lax.dot_general(
+        corr_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
         oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -170,18 +172,22 @@ def _dual_fwd_kernel(
         scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Wc, Dc)
-    outc_ref[:] = outc_ref[:] * scale_c_wd + jax.lax.dot_general(
+    corr_c_wd = jax.lax.dot_general(
+        corr_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
         oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     mdp_ref[0:HP, :] = mp_new
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + jax.lax.dot_general(
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
         p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mdc_ref[0:HP, :] = mc_new
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + jax.lax.dot_general(
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
         p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -268,11 +274,19 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
 def _dual_bwd_kernel(
     wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    mdp_ref, mdc_ref, outp_ref, outc_ref, gp_ref, gc_ref,
+    mdtp_ref, mdtc_ref, outp_ref, outc_ref, gp_ref, gc_ref,
     dxlp_ref, dxlc_ref, dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
-    gnump_scr, gdenp_scr, gnumc_scr, gdenc_scr,
+    packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float,
 ):
+    # The four per-edge gathers of each direction (query xr, dnum, dden,
+    # running max) are PACKED into one (CHUNK, W) x (W, 2D+2HP) MXU pass:
+    # each one-hot matmul costs a full 128-lane pass regardless of operand
+    # width, so packing quarters the dominant backward cost. The packed
+    # operand is per-window constant and built once per window into a
+    # scratch; `mdT` arrives pre-transposed (s_pad, 2HP) from the wrapper.
+    Dp = xlp_ref.shape[1]
+    Dc = xlc_ref.shape[1]
     c = pl.program_id(0)
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
@@ -282,38 +296,42 @@ def _dual_bwd_kernel(
         dattp_ref[:] = jnp.zeros_like(dattp_ref)
         dattc_ref[:] = jnp.zeros_like(dattc_ref)
         dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
-        den = mdc_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)  # (HP, Wc)
+        den = mdtc_ref[:, HP : 2 * HP]  # (Wc, HP)
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            inv, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Wc, Dc)
         g = gc_ref[:]
-        gnumc_scr[:] = g * inv_wd
         go = jax.lax.dot_general(
-            sselc_ref[:], g * outc_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            g * outc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (HP, Wc)
-        gdenc_scr[:] = -go * inv
+        )  # (Wc, HP)
+        packc_scr[:, 0:Dc] = xrc_ref[:]
+        packc_scr[:, Dc : 2 * Dc] = g * inv_wd
+        packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
+        packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP] = mdtc_ref[:, 0:HP]
 
     @pl.when(first_w)
     def _():
         dxrp_ref[:] = jnp.zeros_like(dxrp_ref)
-        den = mdp_ref[HP : 2 * HP, :]
-        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)  # (HP, W)
+        den = mdtp_ref[:, HP : 2 * HP]  # (W, HP)
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            inv, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (W, Dp)
         g = gp_ref[:]
-        gnump_scr[:] = g * inv_wd
         go = jax.lax.dot_general(
-            sselp_ref[:], g * outp_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            g * outp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (HP, W)
-        gdenp_scr[:] = -go * inv
+        )  # (W, HP)
+        packp_scr[:, 0:Dp] = xrp_ref[:]
+        packp_scr[:, Dp : 2 * Dp] = g * inv_wd
+        packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
+        packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
     pids = pids_ref[:]
     local = pids - wb * W
@@ -324,8 +342,18 @@ def _dual_bwd_kernel(
 
     xlp = xlp_ref[:]
     xlc = xlc_ref[:]
-    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gep = jnp.dot(oh_p, packp_scr[:], preferred_element_type=jnp.float32)
+    gec = jnp.dot(oh_c, packc_scr[:], preferred_element_type=jnp.float32)
+    z_p = xlp + gep[:, 0:Dp]
+    z_c = xlc + gec[:, 0:Dc]
+    dnum_e_p = gep[:, Dp : 2 * Dp]
+    dnum_e_c = gec[:, Dc : 2 * Dc]
+    hm = hm_ref[:]
+    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
+              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
+    m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
+           + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
+
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(
@@ -337,27 +365,7 @@ def _dual_bwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    hm = hm_ref[:]
-    m_e_p = jax.lax.dot_general(
-        oh_p, mdp_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e_c = jax.lax.dot_general(
-        oh_c, mdc_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
     p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
-
-    dnum_e_p = jnp.dot(oh_p, gnump_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, Dp)
-    dnum_e_c = jnp.dot(oh_c, gnumc_scr[:], preferred_element_type=jnp.float32)  # (CHUNK, Dc)
-    dden_e = jax.lax.dot_general(
-        oh_p, gdenp_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * hm[0:1, :] + jax.lax.dot_general(
-        oh_c, gdenc_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * hm[1:2, :]
 
     dl = p * (
         jax.lax.dot_general(
@@ -414,6 +422,10 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
     sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+    # Pre-transposed (segments, 2*HP) max/den tables: the kernel's packed
+    # per-window gather operand wants segment-major rows.
+    mdtp = mdp.T
+    mdtc = mdc.T
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -430,8 +442,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((Dp, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Dc, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * HP, Wc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 2 * HP), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, 2 * HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -446,10 +458,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((8, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, Dp), jnp.float32),
-            pltpu.VMEM((HP, W), jnp.float32),
-            pltpu.VMEM((Wc, Dc), jnp.float32),
-            pltpu.VMEM((HP, Wc), jnp.float32),
+            pltpu.VMEM((W, 2 * Dp + 2 * HP), jnp.float32),
+            pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
         ],
     )
     dxlp, dxlc, dxrp, dxrc, dattp8, dattc8 = pl.pallas_call(
@@ -465,7 +475,7 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
         ],
         interpret=interpret,
     )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm,
-      mdp, mdc, outp, outc, gp, gc)
+      mdtp, mdtc, outp, outc, gp, gc)
     return dxlp, dxlc, dxrp, dxrc, dattp8, dattc8
 
 
@@ -670,24 +680,17 @@ def _front_fwd_kernel(
     inwin = jnp.logical_and(local >= 0, local < W)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
 
-    hm = hm_ref[:]
+    # Chunk-max shift + accumulator-side correction (see _dual_fwd_kernel).
+    p = jnp.exp(jnp.minimum(logits - m_vec, 0.0))
+
     mp_old = mdp_ref[0:HP, :]
     mc_old = mdc_ref[0:HP, :]
     mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
     mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
     scale_p = jnp.exp(mp_old - mp_new)
     scale_c = jnp.exp(mc_old - mc_new)
-
-    m_e_p = jax.lax.dot_general(
-        oh_p, mp_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e_c = jax.lax.dot_general(
-        oh_c, mc_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
-    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+    corr_p = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, W)) - mp_new)
+    corr_c = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, Wc)) - mc_new)
 
     p_dp = jax.lax.dot_general(
         p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -702,7 +705,11 @@ def _front_fwd_kernel(
         scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    outp_ref[:] = outp_ref[:] * scale_p_wd + jax.lax.dot_general(
+    corr_p_wd = jax.lax.dot_general(
+        corr_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
         oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -710,18 +717,22 @@ def _front_fwd_kernel(
         scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    outc_ref[:] = outc_ref[:] * scale_c_wd + jax.lax.dot_general(
+    corr_c_wd = jax.lax.dot_general(
+        corr_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
         oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     mdp_ref[0:HP, :] = mp_new
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + jax.lax.dot_general(
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
         p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mdc_ref[0:HP, :] = mc_new
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + jax.lax.dot_general(
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
         p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -815,12 +826,16 @@ def _front_bwd_kernel(
     wb_ref, pids_ref, cids_ref, e_ref, lng_ref, lnb_ref,
     wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    mdp_ref, mdc_ref, outp_ref, outc_ref, gp_ref, gc_ref, gen_ref,
+    mdtp_ref, mdtc_ref, outp_ref, outc_ref, gp_ref, gc_ref, gen_ref,
     de_ref, dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
-    gnump_scr, gdenp_scr, gnumc_scr, gdenc_scr,
+    packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float,
 ):
+    # Packed per-window gather operand [xr | dnum | dden | m] — see
+    # _dual_bwd_kernel: 4 one-hot gather passes become 1 per direction.
+    Dp = packp_scr.shape[1] // 2 - HP
+    Dc = packc_scr.shape[1] // 2 - HP
     c = pl.program_id(0)
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
@@ -836,38 +851,42 @@ def _front_bwd_kernel(
         dwlc_ref[:] = jnp.zeros_like(dwlc_ref)
         dblc_ref[:] = jnp.zeros_like(dblc_ref)
         dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
-        den = mdc_ref[HP : 2 * HP, :]
+        den = mdtc_ref[:, HP : 2 * HP]  # (Wc, HP)
         inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            inv, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         g = gc_ref[:]
-        gnumc_scr[:] = g * inv_wd
         go = jax.lax.dot_general(
-            sselc_ref[:], g * outc_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            g * outc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        gdenc_scr[:] = -go * inv
+        )  # (Wc, HP)
+        packc_scr[:, 0:Dc] = xrc_ref[:]
+        packc_scr[:, Dc : 2 * Dc] = g * inv_wd
+        packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
+        packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP] = mdtc_ref[:, 0:HP]
 
     @pl.when(first_w)
     def _():
         dxrp_ref[:] = jnp.zeros_like(dxrp_ref)
-        den = mdp_ref[HP : 2 * HP, :]
+        den = mdtp_ref[:, HP : 2 * HP]  # (W, HP)
         inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            inv, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         g = gp_ref[:]
-        gnump_scr[:] = g * inv_wd
         go = jax.lax.dot_general(
-            sselp_ref[:], g * outp_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            g * outp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        gdenp_scr[:] = -go * inv
+        )  # (W, HP)
+        packp_scr[:, 0:Dp] = xrp_ref[:]
+        packp_scr[:, Dp : 2 * Dp] = g * inv_wd
+        packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
+        packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
     # ---- recompute the prologue.
     e = e_ref[:]  # (CHUNK, De)
@@ -890,8 +909,17 @@ def _front_bwd_kernel(
     cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
     oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
 
-    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    gep = jnp.dot(oh_p, packp_scr[:], preferred_element_type=jnp.float32)
+    gec = jnp.dot(oh_c, packc_scr[:], preferred_element_type=jnp.float32)
+    z_p = xlp + gep[:, 0:Dp]
+    z_c = xlc + gec[:, 0:Dc]
+    dnum_e_p = gep[:, Dp : 2 * Dp]
+    dnum_e_c = gec[:, Dc : 2 * Dc]
+    hm = hm_ref[:]
+    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
+              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
+    m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
+           + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(
@@ -903,27 +931,7 @@ def _front_bwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    hm = hm_ref[:]
-    m_e_p = jax.lax.dot_general(
-        oh_p, mdp_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e_c = jax.lax.dot_general(
-        oh_c, mdc_ref[0:HP, :], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_e = m_e_p * hm[0:1, :] + m_e_c * hm[1:2, :]
     p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
-
-    dnum_e_p = jnp.dot(oh_p, gnump_scr[:], preferred_element_type=jnp.float32)
-    dnum_e_c = jnp.dot(oh_c, gnumc_scr[:], preferred_element_type=jnp.float32)
-    dden_e = jax.lax.dot_general(
-        oh_p, gdenp_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * hm[0:1, :] + jax.lax.dot_general(
-        oh_c, gdenc_scr[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * hm[1:2, :]
 
     dl = p * (
         jax.lax.dot_general(
@@ -1012,6 +1020,9 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+    # Pre-transposed (segments, 2*HP) max/den tables for the packed gather.
+    mdtp = mdp.T
+    mdtc = mdc.T
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1034,8 +1045,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 2 * HP), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, 2 * HP), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -1056,10 +1067,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, Dp), jnp.float32),
-            pltpu.VMEM((HP, W), jnp.float32),
-            pltpu.VMEM((Wc, Dc), jnp.float32),
-            pltpu.VMEM((HP, Wc), jnp.float32),
+            pltpu.VMEM((W, 2 * Dp + 2 * HP), jnp.float32),
+            pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
@@ -1080,7 +1089,7 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         ],
         interpret=interpret,
     )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
-      attp, attc, sselp, sselc, hm, mdp, mdc, outp, outc, gp, gc, gen)
+      attp, attc, sselp, sselc, hm, mdtp, mdtc, outp, outc, gp, gc, gen)
     return outs
 
 
