@@ -52,6 +52,13 @@ class ScenesDataSet:
         self.rng = rng if rng is not None else np.random.default_rng()
 
     def __getitem__(self, item: int) -> SceneData:
+        return self.get_with_rng(item, self.rng)
+
+    def get_with_rng(self, item: int, rng: np.random.Generator) -> SceneData:
+        """Sample/augment with an explicit generator — the worker-process
+        path derives one per (epoch, index) so results are deterministic
+        regardless of worker scheduling (the reference's seeded-worker
+        analogue, general_utils.py:298-303)."""
         current = self.data_list[item]
         if not self.return_all:
             max_sample = min(self.max_num_views_sampled, current.num_views)
@@ -59,20 +66,36 @@ class ScenesDataSet:
                 sample_fraction = max_sample
             else:
                 sample_fraction = int(
-                    self.rng.integers(self.min_num_views_sampled, max_sample + 1)
+                    rng.integers(self.min_num_views_sampled, max_sample + 1)
                 )
-            current = sample_data(current, sample_fraction, rng=self.rng)
+            current = sample_data(current, sample_fraction, rng=rng)
         if self.inplane_rot_aug_max_angle is not None or self.tilt_rot_aug_max_angle is not None:
             current = apply_rotational_homography_aug(
                 current,
                 inplane_rot_aug_max_angle=self.inplane_rot_aug_max_angle,
                 tilt_rot_aug_max_angle=self.tilt_rot_aug_max_angle,
-                rng=self.rng,
+                rng=rng,
             )
         return current
 
     def __len__(self) -> int:
         return len(self.data_list)
+
+
+# -- worker-process pool -----------------------------------------------------
+# The dataset is inherited by forked workers via this module-global (imap
+# tasks ship only (index, seed), never the scene arrays).
+_WORKER_DATASET: Optional[ScenesDataSet] = None
+
+
+def _pool_init(dataset: ScenesDataSet) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_get(task) -> SceneData:
+    idx, seed = task
+    return _WORKER_DATASET.get_with_rng(int(idx), np.random.default_rng(int(seed)))
 
 
 class SceneLoader:
@@ -89,21 +112,65 @@ class SceneLoader:
         shuffle: bool = False,
         prefetch: int = 2,
         rng: Optional[np.random.Generator] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
         self.rng = rng if rng is not None else np.random.default_rng()
+        self.num_workers = num_workers
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _get_pool(self):
+        """Persistent fork pool (the reference's DataLoader worker-process
+        analogue, multiple_scenes_learning.py:48-50 with
+        dataset.dataloader_num_workers)."""
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_pool_init, initargs=(self.dataset,)
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):  # best-effort worker cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _batches(self) -> Iterator[List[SceneData]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_workers > 0:
+            # Per-item seeds drawn from the loader rng BEFORE dispatch:
+            # deterministic per (loader seed, epoch) regardless of worker
+            # scheduling; tasks ship only (index, seed).
+            seeds = self.rng.integers(0, 2**63 - 1, size=len(order))
+            pool = self._get_pool()
+            it = pool.imap(_pool_get, list(zip(order.tolist(), seeds.tolist())),
+                           chunksize=1)
+            batch: List[SceneData] = []
+            for sample in it:
+                batch.append(sample)
+                if len(batch) == self.batch_size:
+                    yield dataloader_collate_fn(batch)
+                    batch = []
+            if batch:
+                yield dataloader_collate_fn(batch)
+            return
         for i in range(0, len(order), self.batch_size):
             yield dataloader_collate_fn([self.dataset[j] for j in order[i : i + self.batch_size]])
 

@@ -63,6 +63,9 @@ def train_model(conf, model, params, train_set, eval_data_loaders, phase, rng=No
     train_loader = SceneLoader(
         train_set, batch_size=batch_size, shuffle=True,
         rng=rng if rng is not None else np.random.default_rng(conf.get_int("random_seed", default=0)),
+        # Reference DataLoader worker processes (multiple_scenes_learning.py:
+        # 48-50); 0/null keeps the in-process prefetch-thread path.
+        num_workers=conf.get_int("dataset.dataloader_num_workers", default=0) or 0,
     )
     trained_params, train_stats = train(
         conf, train_loader, model, params, phase,

@@ -81,6 +81,7 @@ def _dual_fwd_kernel(
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     outp_ref, outc_ref, mdp_ref, mdc_ref,
     *, W: int, Wc: int, HP: int, slope: float, finalize: bool = True,
+    mm_dtype=jnp.float32,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -103,14 +104,23 @@ def _dual_fwd_kernel(
     pids = pids_ref[:]  # (CHUNK, 1)
     local = pids - wb * W
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    oh_p = (local == seg_range).astype(jnp.float32)  # (CHUNK, W)
+    match_p = local == seg_range
+    oh_p = match_p.astype(jnp.float32)  # (CHUNK, W)
     cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)  # (CHUNK, Wc)
+    match_c = cids_ref[:] == cam_range
+    oh_c = match_c.astype(jnp.float32)  # (CHUNK, Wc)
+    # Big one-hot matmuls optionally run with bf16 operands (one-hot exact,
+    # features rounded) and f32 accumulation — f32 matmuls run at a fraction
+    # of the MXU's native bf16 rate on v5e. Small matmuls stay f32.
+    oh_p_mm = match_p.astype(mm_dtype)
+    oh_c_mm = match_c.astype(mm_dtype)
 
     xlp = xlp_ref[:]  # (CHUNK, Dp)
     xlc = xlc_ref[:]  # (CHUNK, Dc)
-    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    z_p = xlp + jnp.dot(oh_p_mm, xrp_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c_mm, xrc_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     # Shared head-space logits: point heads in columns 0..Hp-1, camera heads
@@ -165,7 +175,8 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
-        oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_p_mm, (p_dp * xlp).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     scale_c_wd = jax.lax.dot_general(
@@ -177,7 +188,8 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
-        oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_c_mm, (p_dc * xlc).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -215,9 +227,9 @@ def _dual_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret",
-                                             "finalize"))
+                                             "finalize", "mm"))
 def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
-                  W, Wc, Hp, Hc, slope, interpret=False, finalize=True):
+                  W, Wc, Hp, Hc, slope, interpret=False, finalize=True, mm="f32"):
     E, Dp = xlp.shape
     Dc = xlc.shape[1]
     assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
@@ -251,9 +263,10 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((2 * HP, Wc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
     )
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     outp, outc, mdp, mdc = pl.pallas_call(
         functools.partial(_dual_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope,
-                          finalize=finalize),
+                          finalize=finalize, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
@@ -277,7 +290,7 @@ def _dual_bwd_kernel(
     mdtp_ref, mdtc_ref, outp_ref, outc_ref, gp_ref, gc_ref,
     dxlp_ref, dxlc_ref, dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
-    *, W: int, Wc: int, HP: int, slope: float,
+    *, W: int, Wc: int, HP: int, slope: float, mm_dtype=jnp.float32,
 ):
     # The four per-edge gathers of each direction (query xr, dnum, dden,
     # running max) are PACKED into one (CHUNK, W) x (W, 2D+2HP) MXU pass:
@@ -336,14 +349,20 @@ def _dual_bwd_kernel(
     pids = pids_ref[:]
     local = pids - wb * W
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    oh_p = (local == seg_range).astype(jnp.float32)
+    match_p = local == seg_range
+    oh_p = match_p.astype(jnp.float32)
     cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+    match_c = cids_ref[:] == cam_range
+    oh_c = match_c.astype(jnp.float32)
+    oh_p_mm = match_p.astype(mm_dtype)
+    oh_c_mm = match_c.astype(mm_dtype)
 
     xlp = xlp_ref[:]
     xlc = xlc_ref[:]
-    gep = jnp.dot(oh_p, packp_scr[:], preferred_element_type=jnp.float32)
-    gec = jnp.dot(oh_c, packc_scr[:], preferred_element_type=jnp.float32)
+    gep = jnp.dot(oh_p_mm, packp_scr[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32)
+    gec = jnp.dot(oh_c_mm, packc_scr[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32)
     z_p = xlp + gep[:, 0:Dp]
     z_c = xlc + gec[:, 0:Dc]
     dnum_e_p = gep[:, Dp : 2 * Dp]
@@ -400,21 +419,22 @@ def _dual_bwd_kernel(
     dxlp_ref[:] = p_dp * dnum_e_p + dz_p
     dxlc_ref[:] = p_dc * dnum_e_c + dz_c
     dxrp_ref[:] += jax.lax.dot_general(
-        oh_p, dz_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxrc_ref[:] += jax.lax.dot_general(
-        oh_c, dz_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
     dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret",
+                                             "mm"))
 def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
                   mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
-                  interpret=False):
+                  interpret=False, mm="f32"):
     E, Dp = xlp.shape
     Dc = xlc.shape[1]
     HP = _round_up(Hp + Hc, 8)
@@ -462,8 +482,10 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
         ],
     )
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     dxlp, dxlc, dxrp, dxrc, dattp8, dattc8 = pl.pallas_call(
-        functools.partial(_dual_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope),
+        functools.partial(_dual_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope,
+                          mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, Dp), jnp.float32),
@@ -484,7 +506,7 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
 # ---------------------------------------------------------------------------
 
 
-def make_fused_dual_attend(Hp: int, Hc: int):
+def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
     """Custom-VJP dual attention for (Hp point heads, Hc camera heads).
 
     ``edge_axis``: mesh axis name under edge partitioning (None single-shard).
@@ -514,7 +536,7 @@ def make_fused_dual_attend(Hp: int, Hc: int):
         outp, outc, mdp, mdc = _dual_fwd_raw(
             xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
             W, Wc, Hp, Hc, slope, interpret=interpret,
-            finalize=edge_axis is None,
+            finalize=edge_axis is None, mm=mm,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -558,7 +580,7 @@ def make_fused_dual_attend(Hp: int, Hc: int):
         dxlp, dxlc, dxrp_full, dxrc_full, dattp8, dattc8 = _dual_bwd_raw(
             xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
             mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
-            interpret=interpret,
+            interpret=interpret, mm=mm,
         )
         # Unvisited point window blocks are never written (uninitialized).
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
@@ -593,7 +615,9 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
         Wc >= n_cams + 1 (trash row sliced off).
     Returns (out_pt (n_pts, Dp), out_cam (n_cams, Dc)).
     """
-    key = (Hp, Hc)
+    from gasfm_tpu.ops.segment import get_kernel_precision
+
+    key = (Hp, Hc, get_kernel_precision())
     fn = _DUAL_CACHE.get(key)
     if fn is None:
         fn = make_fused_dual_attend(*key)
@@ -625,6 +649,7 @@ def _front_fwd_kernel(
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, finalize: bool = True,
+    mm_dtype=jnp.float32,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -659,12 +684,18 @@ def _front_fwd_kernel(
     pids = pids_ref[:]
     local = pids - wb * W
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    oh_p = (local == seg_range).astype(jnp.float32)
+    match_p = local == seg_range
+    oh_p = match_p.astype(jnp.float32)
     cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+    match_c = cids_ref[:] == cam_range
+    oh_c = match_c.astype(jnp.float32)
+    oh_p_mm = match_p.astype(mm_dtype)
+    oh_c_mm = match_c.astype(mm_dtype)
 
-    z_p = xlp + jnp.dot(oh_p, xrp_ref[:], preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c, xrc_ref[:], preferred_element_type=jnp.float32)
+    z_p = xlp + jnp.dot(oh_p_mm, xrp_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
+    z_c = xlc + jnp.dot(oh_c_mm, xrc_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32)
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(
@@ -710,7 +741,8 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
-        oh_p, p_dp * xlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_p_mm, (p_dp * xlp).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     scale_c_wd = jax.lax.dot_general(
@@ -722,7 +754,8 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
-        oh_c, p_dc * xlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_c_mm, (p_dc * xlc).astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -760,10 +793,10 @@ def _front_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
-                                             "finalize"))
+                                             "finalize", "mm"))
 def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False,
-                   finalize=True):
+                   finalize=True, mm="f32"):
     E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
@@ -805,9 +838,10 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
         ],
     )
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     en, outp, outc, mdp, mdc = pl.pallas_call(
         functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          finalize=finalize),
+                          finalize=finalize, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, De), jnp.float32),
@@ -830,7 +864,7 @@ def _front_bwd_kernel(
     de_ref, dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
-    *, W: int, Wc: int, HP: int, slope: float, eps: float,
+    *, W: int, Wc: int, HP: int, slope: float, eps: float, mm_dtype=jnp.float32,
 ):
     # Packed per-window gather operand [xr | dnum | dden | m] — see
     # _dual_bwd_kernel: 4 one-hot gather passes become 1 per direction.
@@ -905,12 +939,18 @@ def _front_bwd_kernel(
     pids = pids_ref[:]
     local = pids - wb * W
     seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    oh_p = (local == seg_range).astype(jnp.float32)
+    match_p = local == seg_range
+    oh_p = match_p.astype(jnp.float32)
     cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    oh_c = (cids_ref[:] == cam_range).astype(jnp.float32)
+    match_c = cids_ref[:] == cam_range
+    oh_c = match_c.astype(jnp.float32)
+    oh_p_mm = match_p.astype(mm_dtype)
+    oh_c_mm = match_c.astype(mm_dtype)
 
-    gep = jnp.dot(oh_p, packp_scr[:], preferred_element_type=jnp.float32)
-    gec = jnp.dot(oh_c, packc_scr[:], preferred_element_type=jnp.float32)
+    gep = jnp.dot(oh_p_mm, packp_scr[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32)
+    gec = jnp.dot(oh_c_mm, packc_scr[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32)
     z_p = xlp + gep[:, 0:Dp]
     z_c = xlc + gec[:, 0:Dc]
     dnum_e_p = gep[:, Dp : 2 * Dp]
@@ -966,11 +1006,11 @@ def _front_bwd_kernel(
     dxlp = p_dp * dnum_e_p + dz_p  # (CHUNK, Dp)
     dxlc = p_dc * dnum_e_c + dz_c
     dxrp_ref[:] += jax.lax.dot_general(
-        oh_p, dz_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxrc_ref[:] += jax.lax.dot_general(
-        oh_c, dz_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
@@ -1008,10 +1048,11 @@ def _front_bwd_kernel(
     de_ref[:] = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
+                                             "mm"))
 def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
-                   W, Wc, Hp, Hc, slope, eps, interpret=False):
+                   W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32"):
     E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
@@ -1071,8 +1112,10 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
         ],
     )
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_front_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps),
+        functools.partial(_front_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
+                          mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E, De), jnp.float32),
@@ -1093,7 +1136,7 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     return outs
 
 
-def make_fused_frontend(Hp: int, Hc: int, eps: float):
+def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32"):
     """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
     attention). Differentiable in (e, ln scale/bias, both source
     kernels/biases, both attention vectors, both query tables).
@@ -1123,7 +1166,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float):
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=interpret,
-            finalize=edge_axis is None,
+            finalize=edge_axis is None, mm=mm,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -1166,7 +1209,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float):
          dattp8, dattc8) = _front_bwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
-            W, Wc, Hp, Hc, slope, eps, interpret=interpret,
+            W, Wc, Hp, Hc, slope, eps, interpret=interpret, mm=mm,
         )
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
         dxrp_full = jnp.where(jnp.repeat(visited, W)[:, None], dxrp_full, 0.0)
@@ -1194,10 +1237,12 @@ def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
     Returns (e_norm (E, De) = relu(LN(e)), out_pt (n_pts, Dp),
     out_cam (n_cams, Dc)).
     """
-    key = (Hp, Hc, float(eps))
+    from gasfm_tpu.ops.segment import get_kernel_precision
+
+    key = (Hp, Hc, float(eps), get_kernel_precision())
     fn = _FRONT_CACHE.get(key)
     if fn is None:
-        fn = make_fused_frontend(Hp, Hc, float(eps))
+        fn = make_fused_frontend(*key)
         _FRONT_CACHE[key] = fn
     return fn(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
               pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,

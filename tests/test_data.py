@@ -159,3 +159,43 @@ model { depth_head { enabled = false } }
         data = create_scene_data(conf)
         assert data.num_views == 7
         assert data.is_valid_sample()
+
+
+class TestWorkerPoolLoader:
+    """The worker-process loader path (reference DataLoader num_workers
+    analogue): deterministic per loader seed regardless of scheduling, and
+    sample-equivalent across pool sizes (seeds are drawn per item)."""
+
+    def _make(self, num_workers, seed=5):
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+
+        scenes = [
+            generate_synthetic_scene(n_views=8, n_points=48, seed=s, scene_name=f"s{s}")
+            for s in range(4)
+        ]
+        ds = ScenesDataSet(
+            scenes, return_all=False, min_num_views_sampled=4, max_num_views_sampled=6,
+            inplane_rot_aug_max_angle=10.0, tilt_rot_aug_max_angle=10.0,
+        )
+        return SceneLoader(ds, batch_size=2, shuffle=True,
+                           rng=np.random.default_rng(seed), num_workers=num_workers)
+
+    def test_pool_matches_itself_and_other_pool_sizes(self):
+        def collect(loader):
+            out = []
+            for batch in loader:
+                for s in batch:
+                    out.append((s.scene_name, np.asarray(s.M).copy()))
+            loader.close()
+            return out
+
+        a = collect(self._make(num_workers=2))
+        b = collect(self._make(num_workers=2))
+        c = collect(self._make(num_workers=1))
+        assert [n for n, _ in a] == [n for n, _ in b] == [n for n, _ in c]
+        for (_, ma), (_, mb), (_, mc) in zip(a, b, c):
+            np.testing.assert_array_equal(ma, mb)
+            np.testing.assert_array_equal(ma, mc)
+        for name, m in a:
+            assert np.isfinite(m).all() and m.shape[0] % 2 == 0

@@ -267,3 +267,63 @@ def test_layer_frontend_fused_matches_composite():
             np.asarray(g_k[key]), np.asarray(g_x[key]), atol=5e-4, rtol=2e-3,
             err_msg=f"grad mismatch: {key}",
         )
+
+
+class TestBf16KernelPrecision:
+    """GASFM_KERNEL_PRECISION=bf16 runs the big one-hot matmuls of the fused
+    dual/frontend kernels with bf16 operands + f32 accumulation. One-hot
+    operands are exact in bf16; features round to 8 mantissa bits, so
+    outputs/grads must track the f32 composite path to ~bf16 tolerance."""
+
+    def test_frontend_bf16_close_to_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.ops.gatv2 import gatv2_layer_frontend
+
+        data = generate_synthetic_scene(n_views=6, n_points=120, seed=0)
+        scene = data.to_scene_graph(caps=(8, 256, 1024))
+        g = scene.graph
+        E, De = g.num_edges, 16
+        Hp = Hc = 2
+        Dp = Dc = 16
+        rng = np.random.default_rng(0)
+        r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
+        e_raw = r(E, De)
+        args = dict(
+            ln_scale=r(De), ln_bias=r(De),
+            wlp=r(De, Dp) * 0.3, blp=r(Dp) * 0.1,
+            wlc=r(De, Dc) * 0.3, blc=r(Dc) * 0.1,
+            att_p=r(Hp, Dp // Hp), att_c=r(Hc, Dc // Hc),
+            xr_p=r(g.num_pts, Hp, Dp // Hp), xr_c=r(g.num_cams, Hc, Dc // Hc),
+        )
+
+        def loss_of(e_raw):
+            en, out_p, out_c = gatv2_layer_frontend(
+                e_raw, args["ln_scale"], args["ln_bias"], 1e-5,
+                args["wlp"], args["blp"], args["att_p"], args["xr_p"],
+                g.pt_idx, g.num_pts, g.pt_segment_windows(),
+                args["wlc"], args["blc"], args["att_c"], args["xr_c"],
+                g.cam_idx, g.num_cams, edge_mask=g.edge_mask,
+            )
+            return jnp.sum(en**2) * 0.001 + jnp.sum(out_p**2) + jnp.sum(out_c**2)
+
+        prev_mode, prev_prec = seg.get_kernel_mode(), seg.get_kernel_precision()
+        try:
+            seg.set_kernel_mode("off")
+            ref_loss = float(loss_of(e_raw))
+            ref_grad = np.asarray(jax.grad(loss_of)(e_raw))
+
+            seg.set_kernel_mode("interpret")
+            seg.set_kernel_precision("bf16")
+            bf_loss = float(loss_of(e_raw))
+            bf_grad = np.asarray(jax.grad(loss_of)(e_raw))
+        finally:
+            seg.set_kernel_mode(prev_mode)
+            seg.set_kernel_precision(prev_prec)
+
+        assert abs(bf_loss - ref_loss) / abs(ref_loss) < 2e-2
+        scale = np.abs(ref_grad).max()
+        assert np.abs(bf_grad - ref_grad).max() < 3e-2 * scale
