@@ -59,8 +59,12 @@ from gasfm_tpu.utils.constants import MIN_N_POINTS_PER_VIEW, MIN_N_VIEWS_PER_POI
 # (and the grid step count). (WINDOW=128, CHUNK=512) measured best:
 # vs (512, 512) it is ~3.6x less MXU work at 10-25% edge padding; CHUNK=256
 # and CHUNK=1024 are both slower (per-grid-step overhead vs padding).
+# GASFM_CHUNK overrides CHUNK for perf experiments (scripts/kernel_microbench
+# .py sweeps it in subprocesses; it must be set before first import).
+import os as _os
+
 WINDOW = 128
-CHUNK = 512
+CHUNK = int(_os.environ.get("GASFM_CHUNK", "512"))
 
 
 def _round_up(x: int, m: int) -> int:

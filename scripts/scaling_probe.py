@@ -36,10 +36,11 @@ def main():
     tx, _ = build_optimizer(conf)
 
     sizes = [
-        (64, 4096, 0.2),     # bench scene today: ~46k edges
-        (128, 8192, 0.2),    # ~190k edges
-        (256, 16384, 0.2),   # ~760k edges
-        (256, 32768, 0.2),   # ~1.5M edges
+        (64, 4096, 0.2),     # ~29k valid edges
+        (128, 8192, 0.2),    # ~116k valid edges (the bench scene)
+        (256, 16384, 0.2),   # ~460k valid edges
+        # (256, 32768): ~0.9M valid edges OOMs — the scan saves per-layer
+        # E-sized residuals for the backward (see BENCHLOG.md section 1).
     ]
     for n_views, n_points, vis in sizes:
         data = generate_synthetic_scene(

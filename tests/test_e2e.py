@@ -110,3 +110,66 @@ class TestSingleSceneDriver:
         # final model weights dumped
         models_dir = paths.path_to_models_dir(conf, Phases.OPTIMIZATION)
         assert os.path.exists(os.path.join(models_dir, "final_model.npz"))
+
+
+class TestProjectiveEndToEnd:
+    """The uncalibrated pipeline end-to-end: Differentiable-Chirality head
+    normalization, projective evaluation (alignment w/o calibration), and
+    proj_ba (the reference's projective benchmark path — driver config #4;
+    reference baseNet.py:59-81, ba_functions.py:75-136)."""
+
+    def test_projective_optimization_improves_and_proj_ba_runs(self):
+        conf = short_conf("optim_synth_proj_gasfm.conf", n_epochs=150)
+        before, after, data = run_short_optimization(conf)
+        assert not data.calibrated
+        repro_before = before.loc["Mean", "our_repro"]
+        repro_after = after.loc["Mean", "our_repro"]
+        assert np.isfinite(repro_after)
+        assert repro_after < repro_before * 0.5
+        # proj_ba ran and produced finite refined errors.
+        assert np.isfinite(after.loc["Mean", "repro_ba"])
+        assert after.loc["Mean", "repro_ba"] <= repro_after + 1e-6
+
+
+class TestDepthHeadEndToEnd:
+    """Depth-only training: DirectDepthLoss on GT depths + the random-2view
+    backprojection reprojection metric as the validation signal (reference
+    loss_functions.py:24-66, evaluation.py:393-464, train.py:396-401)."""
+
+    def test_depth_training_reduces_loss_and_backproj_error(self):
+        conf = short_conf("optim_synth_depth_gasfm.conf", n_epochs=300)
+        conf.put("train.lr", 0.003)
+        data = create_scene_data(conf)
+        assert data.depths is not None  # GT depth targets derived
+        loader = SceneLoader(ScenesDataSet([data], return_all=True), batch_size=1, prefetch=0)
+        model = get_model(conf)
+        sg = data.to_scene_graph()
+        params = model.init(jax.random.PRNGKey(0), sg.graph)
+
+        from gasfm_tpu.losses import get_loss_func
+
+        loss_func = get_loss_func(conf)
+        session = TrainingSession(conf, model)
+        before = epoch_evaluation(
+            loader, session, params, conf, -1, Phases.OPTIMIZATION,
+            bundle_adjustment=False, crash_on_scene_exhausting_memory=True,
+        )
+        loss_before = float(loss_func(model.apply(params, sg.graph), sg))
+        trained, _ = train(conf, loader, model, params, Phases.OPTIMIZATION)
+        after = epoch_evaluation(
+            loader, session, trained["final_model"], conf, -1, Phases.OPTIMIZATION,
+            bundle_adjustment=False, crash_on_scene_exhausting_memory=True,
+        )
+        loss_after = float(loss_func(model.apply(trained["final_model"], sg.graph), sg))
+
+        # DirectDepthLoss decreased (convergence to GT depths is a
+        # long-horizon affair — the reference trains 1e5 epochs — so the CI
+        # bar is monotone improvement plus a healthy metric battery).
+        assert loss_after < loss_before
+        col = "repro_backproj_rnd_gt_2view"
+        assert col in after.columns
+        assert np.isfinite(after.loc["Mean", col])
+        assert after.loc["Mean", col] <= before.loc["Mean", col] * 1.02
+        for stat_col in ("depth_pred_err_mean", "depth_pred_norm_q50", "depth_gt_norm_q50"):
+            assert np.isfinite(after.loc["Mean", stat_col])
+        assert after.loc["Mean", "depth_pred_err_mean"] < before.loc["Mean", "depth_pred_err_mean"]
