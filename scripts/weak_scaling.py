@@ -47,13 +47,14 @@ def main():
     base = None
     base_rate = None
     for n_edge in (1, 2, 4, 8):
-        # Scene grown ~proportionally with the mesh; the edge cap is the
-        # blocked layout's need rounded up to an n_edge-divisible chunk
-        # count, so per-shard slices stay CHUNK-aligned.
-        n_points = 64 * n_edge
-        n_views = 8 * n_edge
+        # Points (and so edges) grow linearly with the mesh at fixed view
+        # count -> per-shard edge load ~constant; the edge cap is the blocked
+        # layout's need rounded up to an n_edge-divisible chunk count, so
+        # per-shard slices stay CHUNK-aligned.
+        n_points = 128 * n_edge
+        n_views = 32
         data = generate_synthetic_scene(
-            n_views=n_views, n_points=n_points, visibility=0.9, seed=0)
+            n_views=n_views, n_points=n_points, visibility=0.5, seed=0)
         from gasfm_tpu.graph.view_graph import blocked_edge_count
 
         blocked = blocked_edge_count(np.asarray(data.M))
