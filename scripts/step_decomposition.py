@@ -71,8 +71,11 @@ def main():
         print(f"--- scene m={n_views} n={n_points} E_cap={E_cap} "
               f"E={int(scene.graph.e_true)} (scan n={n})", flush=True)
 
-        # (a) forward + loss only. The carry must depend on the output, so
-        # fold the loss back into a dummy param perturbation.
+        # (a) forward + loss only. CAVEAT (measured, BENCHLOG.md section 2):
+        # with params and scene constant across iterations, XLA hoists the
+        # loop-invariant forward out of the scan — this row measures almost
+        # nothing and is NOT a valid forward cost. Kept for the record; use
+        # the per-op trace (scripts/trace_step.py) for forward attribution.
         def fwd_only(carry, scene):
             p, dummy = carry
             loss = loss_func(model.apply(p, scene.graph), scene)
