@@ -201,3 +201,47 @@ class TestSetOfSetFullModelParity:
         pred = model.apply(params, scene.graph)
         assert_close("Ps_norm", pred_ref["Ps_norm"], np.asarray(pred["Ps_norm"])[: og.m])
         assert_close("pts3D", pred_ref["pts3D"], np.asarray(pred["pts3D"])[:, : og.n])
+
+
+class TestFlagshipShapeParity:
+    """Parity at the flagship architecture's exact shape profile (4 heads,
+    widths 32/64/1024/2048, no hidden stream layers — reference
+    confs/gasfm/optim_euc_gasfm.conf) at reduced depth: exercises the
+    per-head partitioning (C = 8) and the width-adapter paths the bench
+    model uses."""
+
+    def test_transplanted_weights_match(self):
+        torch.manual_seed(7)
+        kw = dict(
+            num_layers=2, n_heads=4, n_feat_proj=32, n_feat_scenepoint=64,
+            n_feat_view=1024, n_feat_global=2048, stateful_global_features=True,
+            add_skipconn_from_init_projfeat=True, use_norm_proj_update=True,
+            add_residual_skipconn_proj_update=True,
+            n_hidden_layers_scenepoint_update=0, n_hidden_layers_view_update=0,
+            n_hidden_layers_global_update=0, n_hidden_layers_proj_update=0,
+            view_head_n_hidden_layers=2, scenepoint_head_n_hidden_layers=2,
+        )
+        ref = oracle.GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        scene = make_scene()
+        og, order, mask = oracle_graph_from(scene)
+        with torch.no_grad():
+            pred_ref = ref(og)
+        params = convert_reference_state_dict(
+            ref.state_dict(), "graph_attn_sfm.GraphAttnSfMNet")
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+        model = GraphAttnSfMNet(
+            global2view_and_global2scenepoint_enabled=False, **kw)
+        init = model.init(jax.random.PRNGKey(0), scene.graph)
+        ref_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(init)[0]}
+        got_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                     jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert ref_paths == got_paths
+        pred = model.apply(params, scene.graph)
+        # Wide (2048) accumulation chains in f32 vs the f64 oracle: a
+        # slightly looser tolerance than the narrow-width tests.
+        assert_close("Ps_norm", pred_ref["Ps_norm"],
+                     np.asarray(pred["Ps_norm"])[: og.m], tol=1e-3)
+        assert_close("pts3D", pred_ref["pts3D"],
+                     np.asarray(pred["pts3D"])[:, : og.n], tol=1e-3)
