@@ -126,5 +126,109 @@ def main():
         print(f"{name:7s}: {per_chunk*1e6:6.2f} us/chunk", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in sys.argv:
     main()
+
+
+def _copy_noids_kernel(wb_ref, e_ref, xrp_ref, xrc_ref, out_ref, *, W, Wc):
+    out_ref[:] = e_ref[:] + xrp_ref[0:1, :] + xrc_ref[0:1, :]
+
+
+def build_noids(E, D, W, Wc):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // CHUNK,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+    )
+
+    def call(wb, e, xrp, xrc):
+        return pl.pallas_call(
+            functools.partial(_copy_noids_kernel, W=W, Wc=Wc),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E, D), jnp.float32),
+        )(wb, e, xrp, xrc)
+
+    return call
+
+
+def _copy_packed_kernel(wb_ref, e_ref, out_ref):
+    out_ref[:] = e_ref[:] * 1.0000001
+
+
+def build_packed(rows):
+    # Edge stream pre-packed to 128 lanes: (E, 32) viewed as (E/4, 128) —
+    # no T(8,128) lane padding in HBM, 4x less physical DMA if the padding
+    # hypothesis holds.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // (CHUNK // 4),),
+        in_specs=[
+            pl.BlockSpec((CHUNK // 4, 128), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK // 4, 128), lambda c, wb_ref: (c, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def call(wb, e):
+        return pl.pallas_call(
+            _copy_packed_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        )(wb, e)
+
+    return call
+
+
+def extra():
+    data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
+    g = data.to_scene_graph().graph
+    E, D, W, Wc = g.num_edges, 32, WINDOW, 256
+    s_pad = ((g.num_pts + W - 1) // W) * W
+    rng = np.random.default_rng(0)
+    e0 = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32))
+    e0p = jnp.asarray(rng.standard_normal((E // 4, 128)).astype(np.float32))
+    xrp = jnp.asarray(rng.standard_normal((s_pad, D)).astype(np.float32))
+    xrc = jnp.asarray(rng.standard_normal((Wc, D)).astype(np.float32))
+    wb = g.pt_window.reshape(E // CHUNK, CHUNK)[:, 0]
+    chunks = E // CHUNK
+
+    def timeit(name, run, x):
+        n = 200
+        jax.block_until_ready(run(x, n))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x, n))
+            times.append(time.perf_counter() - t0)
+        print(f"{name:12s}: {min(times)/n/chunks*1e6:6.2f} us/chunk", flush=True)
+
+    fn = build_noids(E, D, W, Wc)
+
+    @partial(jax.jit, static_argnames="n")
+    def run_noids(e, n):
+        def body(e, _):
+            return fn(wb, e, xrp, xrc), ()
+        out, _ = jax.lax.scan(body, e, None, length=n)
+        return out
+
+    timeit("copy_noids", run_noids, e0)
+
+    fp = build_packed(E // 4)
+
+    @partial(jax.jit, static_argnames="n")
+    def run_packed(e, n):
+        def body(e, _):
+            return fp(wb, e), ()
+        out, _ = jax.lax.scan(body, e, None, length=n)
+        return out
+
+    timeit("copy_packed", run_packed, e0p)
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    extra()

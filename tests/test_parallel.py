@@ -348,3 +348,35 @@ class TestCollectiveFusedKernels:
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(a).max(), 1e-3)
             np.testing.assert_allclose(a, b, atol=2e-5 * scale, err_msg=name)
+
+
+class TestDistributedInit:
+    """Conf gating of the multi-host runtime startup (jax.distributed
+    bootstrap — SURVEY section 2.7's communication-backend row)."""
+
+    def test_disabled_by_default_and_kwargs_plumbed(self, monkeypatch):
+        from gasfm_tpu.config import ConfigFactory
+        from gasfm_tpu.parallel.edge_sharding import initialize_distributed
+
+        conf = ConfigFactory.parse_string("parallel { }")
+        assert initialize_distributed(conf) is False
+
+        calls = {}
+
+        def fake_init(**kwargs):
+            calls.update(kwargs)
+
+        import jax as _jax
+
+        monkeypatch.setattr(_jax.distributed, "initialize", fake_init)
+        conf = ConfigFactory.parse_string("""
+parallel { distributed {
+  enabled = true
+  coordinator_address = "10.0.0.1:1234"
+  num_processes = 4
+  process_id = 2
+} }
+""")
+        assert initialize_distributed(conf) is True
+        assert calls == {"coordinator_address": "10.0.0.1:1234",
+                         "num_processes": 4, "process_id": 2}
