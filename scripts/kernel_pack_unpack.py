@@ -40,7 +40,7 @@ D = 32
 PACK = 128 // D
 
 
-def _unpack_kernel(packed_ref, out_ref):
+def _unpack_kernel(wb_ref, packed_ref, out_ref):
     x = packed_ref[:].reshape(CHUNK, D)  # in-VMEM relayout
     y = x * 1.0000001 + 0.0000001
     out_ref[:] = y.reshape(CHUNK // PACK, 128)
@@ -86,7 +86,7 @@ def main():
           flush=True)
 
 
-def _id_unpack_kernel(packed_ref, e_ref, out_ref):
+def _id_unpack_kernel(wb_ref, packed_ref, e_ref, out_ref):
     ids = packed_ref[:].reshape(CHUNK, 1)  # (CHUNK/128, 128) -> (CHUNK, 1)
     out_ref[:] = e_ref[:] + ids.astype(jnp.float32)
 
