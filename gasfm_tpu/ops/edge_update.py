@@ -45,8 +45,8 @@ def edge_combine(
 
         return fused_edge_combine(
             pe, ps, pv, pg,
-            graph.pt_idx.astype(jnp.int32)[:, None],
-            graph.cam_idx.astype(jnp.int32)[:, None],
+            graph.pt_idx.astype(jnp.int32).reshape(-1, _CHUNK),
+            graph.cam_idx.astype(jnp.int32).reshape(-1, _CHUNK),
             window.block,
             graph.num_pts, graph.num_cams, WINDOW,
             _kernel_interpret(), get_kernel_precision(),

@@ -217,7 +217,7 @@ def gatv2_attend_dual(
             xl_p.reshape(E, Hp * Cp), xl_c.reshape(E, Hc * Cc),
             xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-            pids[:, None], cids[:, None], window.block,
+            pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(),
         )
@@ -300,7 +300,7 @@ def gatv2_layer_frontend(
             wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
             xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-            pids[:, None], cids[:, None], window.block,
+            pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(),
         )

@@ -55,6 +55,16 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _id_row(ref, c):
+    """Row c % 8 of the (8, CHUNK) lane-packed id block as (1, CHUNK).
+
+    TPU block shapes need sublane-divisible leading dims, so the id rows are
+    blocked 8 at a time (index c // 8 — Mosaic re-fetches only when the
+    block index changes, i.e. once per 8 chunks). Ref-level pl.ds indexing:
+    value-level dynamic_slice is not lowered by Pallas TPU."""
+    return ref[pl.ds(c % 8, 1), :]
+
+
 def _dir_selector(H: int, C: int, HP: int, head0: int) -> np.ndarray:
     """(H*C, HP) 0/1 matrix: lane -> head column ``head0 + h``."""
     s = np.zeros((H * C, HP), dtype=np.float32)
@@ -101,26 +111,35 @@ def _dual_fwd_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
         mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
 
-    pids = pids_ref[:]  # (CHUNK, 1)
-    local = pids - wb * W
-    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    match_p = local == seg_range
-    oh_p = match_p.astype(jnp.float32)  # (CHUNK, W)
-    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    match_c = cids_ref[:] == cam_range
-    oh_c = match_c.astype(jnp.float32)  # (CHUNK, Wc)
+    # Ids arrive as ONE lane-packed (1, CHUNK) row per chunk — the (E, 1)
+    # column form is physically padded to 128 lanes by the T(8,128) HBM
+    # tiling and its DMA alone cost ~0.3 us/chunk per id stream (BENCHLOG
+    # section 8). The one-hot is built TRANSPOSED, (W, CHUNK): every
+    # contraction works from ohT directly, and the per-edge in-window
+    # column is recovered with one narrow MXU pass.
+    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK)
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)  # (W, CHUNK)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)  # (Wc, CHUNK)
     # Big one-hot matmuls optionally run with bf16 operands (one-hot exact,
     # features rounded) and f32 accumulation — f32 matmuls run at a fraction
     # of the MXU's native bf16 rate on v5e. Small matmuls stay f32.
-    oh_p_mm = match_p.astype(mm_dtype)
-    oh_c_mm = match_c.astype(mm_dtype)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
 
     xlp = xlp_ref[:]  # (CHUNK, Dp)
     xlc = xlc_ref[:]  # (CHUNK, Dc)
-    z_p = xlp + jnp.dot(oh_p_mm, xrp_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c_mm, xrc_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
+    z_p = xlp + jax.lax.dot_general(
+        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z_c = xlc + jax.lax.dot_general(
+        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     # Shared head-space logits: point heads in columns 0..Hp-1, camera heads
@@ -137,7 +156,12 @@ def _dual_fwd_kernel(
 
     # Chunk-max shift shared by both directions; padding edges (exactly the
     # out-of-window point ids in this layout) are masked out of the max.
-    inwin = jnp.logical_and(local >= 0, local < W)  # (CHUNK, 1)
+    # inwin as a (CHUNK, 1) column via one narrow MXU pass over ohT.
+    inwin = jax.lax.dot_general(
+        ohT_p, jnp.ones((W, 1), jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5  # (CHUNK, 1)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
 
     # Per-edge weights are shifted by the CHUNK max only — no per-edge
@@ -175,8 +199,8 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
-        oh_p_mm, (p_dp * xlp).astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     scale_c_wd = jax.lax.dot_general(
@@ -188,19 +212,19 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
-        oh_c_mm, (p_dc * xlc).astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     mdp_ref[0:HP, :] = mp_new
     mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
-        p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mdc_ref[0:HP, :] = mc_new
     mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
-        p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -240,12 +264,18 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
 
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -346,23 +376,26 @@ def _dual_bwd_kernel(
         packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
         packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
-    pids = pids_ref[:]
-    local = pids - wb * W
-    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    match_p = local == seg_range
-    oh_p = match_p.astype(jnp.float32)
-    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    match_c = cids_ref[:] == cam_range
-    oh_c = match_c.astype(jnp.float32)
-    oh_p_mm = match_p.astype(mm_dtype)
-    oh_c_mm = match_c.astype(mm_dtype)
+    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
 
     xlp = xlp_ref[:]
     xlc = xlc_ref[:]
-    gep = jnp.dot(oh_p_mm, packp_scr[:].astype(mm_dtype),
-                  preferred_element_type=jnp.float32)
-    gec = jnp.dot(oh_c_mm, packc_scr[:].astype(mm_dtype),
-                  preferred_element_type=jnp.float32)
+    gep = jax.lax.dot_general(
+        ohT_p_mm, packp_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gec = jax.lax.dot_general(
+        ohT_c_mm, packc_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     z_p = xlp + gep[:, 0:Dp]
     z_c = xlc + gec[:, 0:Dc]
     dnum_e_p = gep[:, Dp : 2 * Dp]
@@ -419,11 +452,11 @@ def _dual_bwd_kernel(
     dxlp_ref[:] = p_dp * dnum_e_p + dz_p
     dxlc_ref[:] = p_dc * dnum_e_c + dz_c
     dxrp_ref[:] += jax.lax.dot_general(
-        oh_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxrc_ref[:] += jax.lax.dot_general(
-        oh_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
@@ -447,12 +480,18 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
     mdtp = mdp.T
     mdtc = mdc.T
 
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -608,8 +647,10 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
     xl_c: (E, Dc) camera-side source-transformed edge features.
     xr_p: (n_pts, Dp), xr_c: (n_cams, Dc) per-segment query transforms.
     att_p: (1, Dp), att_c: (1, Dc) flat attention vectors.
-    pids2d/cids2d: (E, 1) int32 ids; masked edges must carry an
-        out-of-window point id and the camera trash id ``n_cams``.
+    pids2d/cids2d: (E // CHUNK, CHUNK) int32 ids, one lane-packed row per
+        chunk (the (E, 1) column form is 128x padded by HBM tiling); masked
+        edges must carry an out-of-window point id and the camera trash id
+        ``n_cams``.
     wb: (E // CHUNK,) non-decreasing point window-block per chunk.
     W: point window width; Wc: camera table width, a multiple of 128 with
         Wc >= n_cams + 1 (trash row sliced off).
@@ -680,22 +721,26 @@ def _front_fwd_kernel(
     xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
     xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
-    # ---- dual attention (identical to _dual_fwd_kernel from here).
-    pids = pids_ref[:]
-    local = pids - wb * W
-    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    match_p = local == seg_range
-    oh_p = match_p.astype(jnp.float32)
-    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    match_c = cids_ref[:] == cam_range
-    oh_c = match_c.astype(jnp.float32)
-    oh_p_mm = match_p.astype(mm_dtype)
-    oh_c_mm = match_c.astype(mm_dtype)
+    # ---- dual attention (identical to _dual_fwd_kernel from here;
+    # lane-packed (1, CHUNK) id rows, transposed one-hots).
+    local_row = _id_row(pids_ref, c) - wb * W
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
 
-    z_p = xlp + jnp.dot(oh_p_mm, xrp_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
-    z_c = xlc + jnp.dot(oh_c_mm, xrc_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32)
+    z_p = xlp + jax.lax.dot_general(
+        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z_c = xlc + jax.lax.dot_general(
+        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(
@@ -708,7 +753,11 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    inwin = jnp.logical_and(local >= 0, local < W)
+    inwin = jax.lax.dot_general(
+        ohT_p, jnp.ones((W, 1), jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5  # (CHUNK, 1)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
 
     # Chunk-max shift + accumulator-side correction (see _dual_fwd_kernel).
@@ -741,8 +790,8 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
-        oh_p_mm, (p_dp * xlp).astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     scale_c_wd = jax.lax.dot_general(
@@ -754,19 +803,19 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
-        oh_c_mm, (p_dc * xlc).astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     mdp_ref[0:HP, :] = mp_new
     mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
-        p, oh_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mdc_ref[0:HP, :] = mc_new
     mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
-        p, oh_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -809,12 +858,18 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
@@ -936,21 +991,24 @@ def _front_bwd_kernel(
 
     # ---- recompute attention internals and per-edge cotangents (identical
     # math to _dual_bwd_kernel).
-    pids = pids_ref[:]
-    local = pids - wb * W
-    seg_range = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    match_p = local == seg_range
-    oh_p = match_p.astype(jnp.float32)
-    cam_range = jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-    match_c = cids_ref[:] == cam_range
-    oh_c = match_c.astype(jnp.float32)
-    oh_p_mm = match_p.astype(mm_dtype)
-    oh_c_mm = match_c.astype(mm_dtype)
+    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
 
-    gep = jnp.dot(oh_p_mm, packp_scr[:].astype(mm_dtype),
-                  preferred_element_type=jnp.float32)
-    gec = jnp.dot(oh_c_mm, packc_scr[:].astype(mm_dtype),
-                  preferred_element_type=jnp.float32)
+    gep = jax.lax.dot_general(
+        ohT_p_mm, packp_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gec = jax.lax.dot_general(
+        ohT_c_mm, packc_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     z_p = xlp + gep[:, 0:Dp]
     z_c = xlc + gec[:, 0:Dc]
     dnum_e_p = gep[:, Dp : 2 * Dp]
@@ -1006,11 +1064,11 @@ def _front_bwd_kernel(
     dxlp = p_dp * dnum_e_p + dz_p  # (CHUNK, Dp)
     dxlc = p_dc * dnum_e_c + dz_c
     dxrp_ref[:] += jax.lax.dot_general(
-        oh_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxrc_ref[:] += jax.lax.dot_general(
-        oh_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
@@ -1066,12 +1124,18 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     mdtc = mdc.T
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),

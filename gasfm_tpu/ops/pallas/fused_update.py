@@ -38,19 +38,35 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _id_row(ref, c):
+    """Row c % 8 of the (8, CHUNK) lane-packed id block as (1, CHUNK).
+
+    TPU block shapes need sublane-divisible leading dims, so the id rows are
+    blocked 8 at a time (index c // 8 — Mosaic re-fetches only when the
+    block index changes, i.e. once per 8 chunks). Ref-level pl.ds indexing:
+    value-level dynamic_slice is not lowered by Pallas TPU."""
+    return ref[pl.ds(c % 8, 1), :]
+
+
 def _fwd_kernel(wb_ref, pids_ref, cids_ref, pe_ref, ps_ref, pv_ref, pg_ref, out_ref,
                 *, W: int, Wc: int, mm_dtype):
     c = pl.program_id(0)
-    local = pids_ref[:] - wb_ref[c] * W
-    # One-hot rows are exact in bf16; table operands round (f32 accumulate).
-    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(mm_dtype)
-    oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
+    # Lane-packed (1, CHUNK) id rows; transposed one-hots (see
+    # fused_dual_attn / BENCHLOG section 8 — the (E, 1) column form is
+    # 128x padded by HBM tiling and its DMA dominated this kernel).
+    local_row = _id_row(pids_ref, c) - wb_ref[c] * W  # (1, CHUNK)
+    ohT_pt = (local_row == jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)).astype(mm_dtype)
+    ohT_cam = (_id_row(cids_ref, c) == jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)).astype(
         mm_dtype
     )
     out_ref[:] = (
         pe_ref[:]
-        + jnp.dot(oh_pt, ps_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
-        + jnp.dot(oh_cam, pv_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ohT_pt, ps_ref[:].astype(mm_dtype),
+                              dimension_numbers=(((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ohT_cam, pv_ref[:].astype(mm_dtype),
+                              dimension_numbers=(((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
         + pg_ref[:]
     ) * 0.25
 
@@ -60,12 +76,18 @@ def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm="f32", interp
     E, D = pe.shape
     assert E % _CHUNK == 0
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -96,20 +118,20 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dp
         dpv_ref[:] = jnp.zeros_like(dpv_ref)
         dpg_ref[:] = jnp.zeros_like(dpg_ref)
 
-    local = pids_ref[:] - wb * W
-    oh_pt = (local == jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)).astype(mm_dtype)
-    oh_cam = (cids_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)).astype(
+    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK)
+    ohT_pt = (local_row == jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)).astype(mm_dtype)
+    ohT_cam = (_id_row(cids_ref, c) == jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)).astype(
         mm_dtype
     )
     g4 = g_ref[:] * 0.25
     g4_mm = g4.astype(mm_dtype)
     dpe_ref[:] = g4
     dps_ref[:] += jax.lax.dot_general(
-        oh_pt, g4_mm, dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_pt, g4_mm, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dpv_ref[:] += jax.lax.dot_general(
-        oh_cam, g4_mm, dimension_numbers=(((0,), (0,)), ((), ())),
+        ohT_cam, g4_mm, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dpg_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
@@ -119,12 +141,18 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dp
 def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, mm="f32", interpret=False):
     E, D = g.shape
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
+    _rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != _rows8:
+        # Id rows blocked (8, CHUNK): pad the row count to a sublane multiple
+        # (padded rows are DMA'd with their block but never read).
+        pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
