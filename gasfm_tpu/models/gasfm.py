@@ -69,6 +69,33 @@ class GraphAttnSfMNet(nn.Module):
         e = EmbeddingLayer(self.pos_emb_n_freq, post_embed_proj_dim=-1, name="embed")(graph.uv)
         skip_init = e if self.add_skipconn_from_init_projfeat else None
 
+        # Packed edge streams (ops/pallas/packing.py): the interior layers
+        # run with lane-packed (E/4, 128) streams — the embed output / first
+        # layer and the final update keep the plain layout (the relayout is
+        # one XLA transpose-copy at each boundary). Gated to the shapes the
+        # packed kernels support; any ineligible conf runs exactly as before.
+        from gasfm_tpu.graph.view_graph import CHUNK
+        from gasfm_tpu.ops.pallas.packing import (
+            pack_edges,
+            packed_streams_enabled,
+            unpack_edges,
+        )
+
+        use_packed = (
+            packed_streams_enabled(self.n_feat_proj)
+            and self.use_norm_proj_update
+            and self.n_hidden_layers_proj_update == 0
+            and graph.pt_segment_windows() is not None
+            and graph.num_edges % CHUNK == 0
+            and graph.num_cams <= 1024
+        )
+        skip_init_packed = (
+            pack_edges(skip_init, CHUNK)
+            if (use_packed and skip_init is not None)
+            else None
+        )
+        e_packed = False
+
         s = v = g = None
         for i in range(self.num_layers):
             first = i == 0
@@ -76,6 +103,13 @@ class GraphAttnSfMNet(nn.Module):
             proj_out = (
                 self.depth_head_n_feat if self.depth_head_enabled and last else self.n_feat_proj
             )
+            layer_packed = use_packed and not first and proj_out == self.n_feat_proj
+            if layer_packed and not e_packed:
+                e = pack_edges(e, CHUNK)
+                e_packed = True
+            elif e_packed and not layer_packed:
+                e = unpack_edges(e, CHUNK)
+                e_packed = False
             e, s, v, g = GraphAttnLayer(
                 n_feat_proj_in=d_emb if first else self.n_feat_proj,
                 n_feat_proj_out=proj_out,
@@ -98,6 +132,7 @@ class GraphAttnSfMNet(nn.Module):
                 n_hidden_layers_view_update=self.n_hidden_layers_view_update,
                 n_hidden_layers_global_update=self.n_hidden_layers_global_update,
                 n_hidden_layers_proj_update=self.n_hidden_layers_proj_update,
+                packed_edges=layer_packed,
                 name=f"equivariant_blocks_{i}",
             )(
                 e,
@@ -106,9 +141,13 @@ class GraphAttnSfMNet(nn.Module):
                 prev_view_features=v if self.stateful_global_features else None,
                 prev_global_features=g if self.stateful_global_features else None,
                 skipconn_init_projfeat=(
-                    skip_init if (not first and self.add_skipconn_from_init_projfeat) else None
+                    (skip_init_packed if layer_packed else skip_init)
+                    if (not first and self.add_skipconn_from_init_projfeat)
+                    else None
                 ),
             )
+        if e_packed:
+            e = unpack_edges(e, CHUNK)
 
         pred: Dict[str, Any] = {}
 

@@ -53,6 +53,26 @@ class TorchDense(nn.Module):
         return y
 
 
+class DenseParams(nn.Module):
+    """The parameters of a TorchDense, materialized without applying it.
+
+    Param names/shapes/init are identical to :class:`TorchDense`, so a
+    module named e.g. ``lin_proj`` produces the same checkpoint tree whether
+    the matmul runs in XLA (TorchDense) or inside a fused Pallas kernel
+    (packed edge streams never materialize the (E, in_dim) operand).
+    """
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        bound = 1.0 / math.sqrt(self.in_dim)
+        kernel = self.param("kernel", _torch_uniform_init(bound), (self.in_dim, self.features))
+        bias = self.param("bias", _torch_uniform_init(bound), (self.features,))
+        return kernel, bias
+
+
 def layer_norm(name: Optional[str] = None) -> nn.LayerNorm:
     return nn.LayerNorm(epsilon=LN_EPS, name=name)
 
@@ -440,6 +460,7 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
     n_hidden_layers_scenepoint_update: int = 0
     n_hidden_layers_view_update: int = 0
     n_hidden_layers_global_update: int = 0
+    packed_edges: bool = False  # x_edges lane-packed (requires ln_params)
 
     @nn.compact
     def __call__(
@@ -453,6 +474,7 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
         #                  LN + ReLU prologue fuses into the attention kernel;
         #                  the normalized features are appended to the return.
     ):
+        assert not (self.packed_edges and ln_params is None)
         need_global = self.output_global or self.global2view_and_global2scenepoint_enabled
         if need_global:
             assert self.n_feat_global_out is not None
@@ -494,7 +516,7 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
                 wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
                 graph.pt_segment_windows(),
                 wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
-                edge_mask=graph.edge_mask,
+                edge_mask=graph.edge_mask, packed=self.packed_edges,
             )
         else:
             xl_p, xr_p, att_p = proj2scenepoint.prepare(
@@ -557,6 +579,14 @@ class ProjectionFeatureUpdate(nn.Module):
 
     Parity: reference ``GraphAttnSfMProjectionFeatureUpdate``
     (layers.py:873-956).
+
+    Packed mode (``packed=True``): ``x_edges`` (and the optional init-skip
+    stream ``skip2_p`` and residual stream ``res_p``) arrive lane-packed
+    (ops/pallas/packing.py) and the whole update — including the
+    ``[e | skip]`` concat, ``lin_proj``, and the residual add that the
+    reference applies around it (layers.py:236-263) — runs as one Pallas
+    kernel (ops/pallas/fused_proj_update.py). The parameter tree is
+    identical to the unpacked path (DenseParams mirrors TorchDense).
     """
 
     n_feat_proj_out: int
@@ -569,8 +599,11 @@ class ProjectionFeatureUpdate(nn.Module):
         scenepoint_features: jnp.ndarray,  # (N, ds)
         view_features: jnp.ndarray,  # (M, dv)
         global_features: jnp.ndarray,  # (1, dg)
-        x_edges: jnp.ndarray,  # (E, de), already normalized
+        x_edges: jnp.ndarray,  # (E, de) normalized; packed: (E/PACK, PACK*de)
         graph: ViewGraph,
+        packed: bool = False,
+        skip2_p: Optional[jnp.ndarray] = None,  # packed init-skip stream
+        res_p: Optional[jnp.ndarray] = None,  # packed residual stream
     ) -> jnp.ndarray:
         s, v, g = scenepoint_features, view_features, global_features
         if self.normalize_global_features:
@@ -578,11 +611,34 @@ class ProjectionFeatureUpdate(nn.Module):
             v = nn.relu(layer_norm(name="view_norm")(v))
             g = nn.relu(layer_norm(name="global_norm")(g))
 
-        pe = TorchDense(self.n_feat_proj_out, name="lin_proj")(x_edges)
         ps = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_scenepoint")(s)
         pv = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_view")(v)
         pg = TorchDense(self.n_feat_proj_out, use_bias=False, name="lin_global")(g)
 
+        if packed:
+            assert self.n_hidden_layers == 0
+            from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+            from gasfm_tpu.ops.pallas.fused_proj_update import packed_edge_update
+            from gasfm_tpu.ops.pallas.packing import PACK
+            from gasfm_tpu.ops.segment import _kernel_interpret
+
+            De = x_edges.shape[1] // PACK
+            D2 = skip2_p.shape[1] // PACK if skip2_p is not None else 0
+            kernel, bias = DenseParams(
+                self.n_feat_proj_out, De + D2, name="lin_proj"
+            )()
+            w_e = kernel[:De]
+            w_uv = kernel[De:] if D2 else None
+            return packed_edge_update(
+                x_edges, skip2_p, res_p, w_e, bias, w_uv, ps, pv, pg,
+                graph.pt_idx.astype(jnp.int32).reshape(-1, CHUNK),
+                graph.cam_idx.astype(jnp.int32).reshape(-1, CHUNK),
+                graph.pt_segment_windows().block,
+                graph.num_pts, graph.num_cams, WINDOW,
+                interpret=_kernel_interpret(),
+            )
+
+        pe = TorchDense(self.n_feat_proj_out, name="lin_proj")(x_edges)
         new = edge_combine(pe, ps, pv, pg, graph)
         if self.n_hidden_layers > 0:
             new = nn.relu(new)
@@ -634,6 +690,12 @@ class GraphAttnLayer(nn.Module):
     n_hidden_layers_view_update: int = 0
     n_hidden_layers_global_update: int = 0
     n_hidden_layers_proj_update: int = 0
+    # Lane-packed edge streams end to end (ops/pallas/packing.py): the raw
+    # stream, the init-skip stream, e_norm and the layer output all stay in
+    # the packed layout; the skip concat + lin_proj + residual fold into the
+    # packed update kernel. Requires equal in/out widths, use_norm, and no
+    # proj-update MLP (the flagship/learning GASFM configuration).
+    packed_edges: bool = False
 
     @nn.compact
     def __call__(
@@ -645,6 +707,10 @@ class GraphAttnLayer(nn.Module):
         prev_global_features: Optional[jnp.ndarray] = None,
         skipconn_init_projfeat: Optional[jnp.ndarray] = None,
     ):
+        if self.packed_edges:
+            assert self.use_norm_proj_update
+            assert self.n_hidden_layers_proj_update == 0
+            assert self.n_feat_proj_in == self.n_feat_proj_out
         raw = prev_projection_features
         global_update = GraphAttnGlobalFeatureUpdate(
             self.n_feat_proj_in,
@@ -662,13 +728,14 @@ class GraphAttnLayer(nn.Module):
             n_hidden_layers_scenepoint_update=self.n_hidden_layers_scenepoint_update,
             n_hidden_layers_view_update=self.n_hidden_layers_view_update,
             n_hidden_layers_global_update=self.n_hidden_layers_global_update,
+            packed_edges=self.packed_edges,
             name="global_feature_update",
         )
         if self.use_norm_proj_update:
             # The LN params live here (functional form) so the LN + ReLU +
             # source-transform prologue can fuse into the attention kernel
             # (ops/gatv2.gatv2_layer_frontend); x comes back normalized.
-            d_in = raw.shape[-1]
+            d_in = self.n_feat_proj_in if self.packed_edges else raw.shape[-1]
             ln_scale = self.param("prev_projfeat_norm_scale", nn.initializers.ones, (d_in,))
             ln_bias = self.param("prev_projfeat_norm_bias", nn.initializers.zeros, (d_in,))
             s, v, g, x = global_update(
@@ -692,6 +759,27 @@ class GraphAttnLayer(nn.Module):
             )
 
         e = x
+        if self.packed_edges:
+            # Skip concat + lin_proj + residual fold into the packed update
+            # kernel; raw IS the residual (equal widths asserted above).
+            skip2_p = None
+            if self.n_feat_skipconn_init_projfeat_in is not None:
+                assert skipconn_init_projfeat is not None
+                from gasfm_tpu.ops.pallas.packing import PACK
+
+                assert skipconn_init_projfeat.shape[-1] == (
+                    PACK * self.n_feat_skipconn_init_projfeat_in
+                )
+                skip2_p = skipconn_init_projfeat
+            res_p = raw if self.add_residual_skipconn_proj_update else None
+            e = ProjectionFeatureUpdate(
+                self.n_feat_proj_out,
+                n_hidden_layers=0,
+                normalize_global_features=True,
+                name="projection_feature_update",
+            )(s, v, g, e, graph, packed=True, skip2_p=skip2_p, res_p=res_p)
+            return e, s, v, g
+
         if self.n_feat_skipconn_init_projfeat_in is not None:
             assert skipconn_init_projfeat is not None
             assert skipconn_init_projfeat.shape[-1] == self.n_feat_skipconn_init_projfeat_in

@@ -265,15 +265,27 @@ def gatv2_layer_frontend(
     num_cams: int,
     edge_mask: Optional[jnp.ndarray] = None,
     negative_slope: float = 0.2,
+    packed: bool = False,
 ):
     """The whole GASFM-layer edge-stream prologue — LN + ReLU + the two GATv2
     source transforms + BOTH aggregations — as one fused kernel when
     eligible (see ops/pallas/fused_dual_attn.fused_frontend), else the exact
     composite XLA computation. Returns (e_norm, out_pt (Np,Hp,Cp),
-    out_cam (Nc,Hc,Cc))."""
+    out_cam (Nc,Hc,Cc)).
+
+    ``packed``: e_raw is a lane-packed (E/PACK, PACK*De) stream
+    (ops/pallas/packing.py) and e_norm keeps that layout; the composite
+    fallback relayouts at the boundaries with identical semantics."""
     from gasfm_tpu.ops.segment import current_edge_axis
 
-    E, De = e_raw.shape
+    if packed:
+        from gasfm_tpu.ops.pallas.packing import PACK
+
+        _rows, _pd = e_raw.shape
+        De = _pd // PACK
+        E = _rows * PACK
+    else:
+        E, De = e_raw.shape
     Hp, Cp = xr_p.shape[1], xr_p.shape[2]
     Hc, Cc = xr_c.shape[1], xr_c.shape[2]
     if (
@@ -302,12 +314,16 @@ def gatv2_layer_frontend(
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
             pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
-            edge_axis=current_edge_axis(),
+            edge_axis=current_edge_axis(), packed=packed,
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
         return en, out_p2.reshape(num_pts, Hp, Cp), out_c2.reshape(num_cams, Hc, Cc)
 
+    if packed:
+        from gasfm_tpu.ops.pallas.packing import pack_edges, unpack_edges
+
+        e_raw = unpack_edges(e_raw, _CHUNK)
     en = _layer_norm_relu(e_raw, ln_scale, ln_bias, eps)
     xl_p = (en @ wlp + blp).reshape(E, Hp, Cp)
     xl_c = (en @ wlc + blc).reshape(E, Hc, Cc)
@@ -316,4 +332,6 @@ def gatv2_layer_frontend(
         xl_c, xr_c, att_c, cam_ids, num_cams,
         edge_mask=edge_mask, negative_slope=negative_slope,
     )
+    if packed:
+        en = pack_edges(en, _CHUNK)
     return en, out_p, out_c

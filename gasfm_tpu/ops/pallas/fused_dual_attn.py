@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 from gasfm_tpu.ops.pallas.fused_attn import combine_attention_shards
+from gasfm_tpu.ops.pallas.packing import PACK, repack_tile, unpack_tile
 
 _NEG = -1e30
 
@@ -690,7 +691,7 @@ def _front_fwd_kernel(
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, finalize: bool = True,
-    mm_dtype=jnp.float32,
+    mm_dtype=jnp.float32, packed: bool = False,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -711,13 +712,17 @@ def _front_fwd_kernel(
         mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
 
     # ---- prologue: LN (flax semantics) + ReLU + the two source transforms.
-    e = e_ref[:]  # (CHUNK, De)
+    # Packed mode: the raw edge stream arrives as a lane-packed
+    # (CHUNK/4, 4*De) tile (4 edges per row — see ops/pallas/packing.py) and
+    # the normalized stream is written back packed; the unpack/repack costs
+    # ~0.12 us/chunk vs the 4x DMA the padded (CHUNK, De) form pays.
+    e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
     mean = jnp.mean(e, axis=1, keepdims=True)
     var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
     xhat = (e - mean) * jax.lax.rsqrt(var + eps)
     xn = xhat * lng_ref[:] + lnb_ref[:]
     en = jnp.maximum(xn, 0.0)
-    en_ref[:] = en
+    en_ref[:] = repack_tile(en) if packed else en
     xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
     xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
@@ -842,11 +847,16 @@ def _front_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
-                                             "finalize", "mm"))
+                                             "finalize", "mm", "packed"))
 def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False,
-                   finalize=True, mm="f32"):
-    E, De = e.shape
+                   finalize=True, mm="f32", packed=False):
+    if packed:
+        _rows, _pd = e.shape
+        De = _pd // PACK
+        E = _rows * PACK
+    else:
+        E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
     assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
@@ -864,13 +874,22 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         # (padded rows are DMA'd with their block but never read).
         pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
+    if packed:
+        stream_spec = pl.BlockSpec(
+            (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
+        )
+        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), jnp.float32)
+    else:
+        stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
+                                   memory_space=pltpu.VMEM)
+        stream_shape = jax.ShapeDtypeStruct((E, De), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
             pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            stream_spec,
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
@@ -886,7 +905,7 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            stream_spec,
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
@@ -896,10 +915,10 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     en, outp, outc, mdp, mdc = pl.pallas_call(
         functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          finalize=finalize, mm_dtype=mm_dtype),
+                          finalize=finalize, mm_dtype=mm_dtype, packed=packed),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, De), jnp.float32),
+            stream_shape,
             jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
             jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
             jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
@@ -920,6 +939,7 @@ def _front_bwd_kernel(
     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, mm_dtype=jnp.float32,
+    packed: bool = False,
 ):
     # Packed per-window gather operand [xr | dnum | dden | m] — see
     # _dual_bwd_kernel: 4 one-hot gather passes become 1 per direction.
@@ -978,7 +998,7 @@ def _front_bwd_kernel(
         packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
     # ---- recompute the prologue.
-    e = e_ref[:]  # (CHUNK, De)
+    e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
     De = e.shape[1]
     mean = jnp.mean(e, axis=1, keepdims=True)
     var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
@@ -1075,6 +1095,7 @@ def _front_bwd_kernel(
     dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
 
     # ---- prologue backward.
+    gen = unpack_tile(gen_ref[:]) if packed else gen_ref[:]
     d_en = (
         jax.lax.dot_general(
             dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1084,7 +1105,7 @@ def _front_bwd_kernel(
             dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + gen_ref[:]
+        + gen
     )  # (CHUNK, De)
     dwlp_ref[:] += jax.lax.dot_general(
         en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1103,15 +1124,21 @@ def _front_bwd_kernel(
     d_xhat = d_xn * lng_ref[:]
     mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
-    de_ref[:] = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    de_ref[:] = repack_tile(de) if packed else de
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
-                                             "mm"))
+                                             "mm", "packed"))
 def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
-                   W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32"):
-    E, De = e.shape
+                   W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32", packed=False):
+    if packed:
+        _rows, _pd = e.shape
+        De = _pd // PACK
+        E = _rows * PACK
+    else:
+        E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
     HP = _round_up(Hp + Hc, 8)
@@ -1130,13 +1157,22 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         # (padded rows are DMA'd with their block but never read).
         pids2d = jnp.pad(pids2d, ((0, _rows8 - pids2d.shape[0]), (0, 0)))
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
+    if packed:
+        stream_spec = pl.BlockSpec(
+            (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
+        )
+        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), jnp.float32)
+    else:
+        stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
+                                   memory_space=pltpu.VMEM)
+        stream_shape = jax.ShapeDtypeStruct((E, De), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
         in_specs=[
             pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            stream_spec,
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
@@ -1156,10 +1192,10 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            stream_spec,
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            stream_spec,
             pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
@@ -1179,10 +1215,10 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     outs = pl.pallas_call(
         functools.partial(_front_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          mm_dtype=mm_dtype),
+                          mm_dtype=mm_dtype, packed=packed),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, De), jnp.float32),
+            stream_shape,
             jax.ShapeDtypeStruct((8, De), jnp.float32),
             jax.ShapeDtypeStruct((8, De), jnp.float32),
             jax.ShapeDtypeStruct((De, Dp), jnp.float32),
@@ -1200,13 +1236,18 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     return outs
 
 
-def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32"):
+def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
+                        packed: bool = False):
     """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
     attention). Differentiable in (e, ln scale/bias, both source
     kernels/biases, both attention vectors, both query tables).
 
     ``edge_axis``: see :func:`make_fused_dual_attend` — LN/ReLU are per-edge
-    (shard-local); only the attention triples combine across shards."""
+    (shard-local); only the attention triples combine across shards.
+
+    ``packed``: the raw edge stream ``e`` arrives lane-packed
+    (E/PACK, PACK*De) and ``en`` (with its cotangent) keeps that layout; the
+    table-sided arguments/outputs are unchanged (ops/pallas/packing.py)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
     def front(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
@@ -1230,7 +1271,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32"):
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=interpret,
-            finalize=edge_axis is None, mm=mm,
+            finalize=edge_axis is None, mm=mm, packed=packed,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -1273,7 +1314,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32"):
          dattp8, dattc8) = _front_bwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
-            W, Wc, Hp, Hc, slope, eps, interpret=interpret, mm=mm,
+            W, Wc, Hp, Hc, slope, eps, interpret=interpret, mm=mm, packed=packed,
         )
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
         dxrp_full = jnp.where(jnp.repeat(visited, W)[:, None], dxrp_full, 0.0)
@@ -1292,18 +1333,19 @@ _FRONT_CACHE = {}
 
 def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
                    att_p, att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                   slope=0.2, interpret=False, edge_axis=None):
+                   slope=0.2, interpret=False, edge_axis=None, packed=False):
     """LN + ReLU + both GATv2 source transforms + dual attention, fused.
 
-    e: (E, De) RAW edge features; lng/lnb: (1, De) LayerNorm scale/bias;
+    e: (E, De) RAW edge features — or lane-packed (E/PACK, PACK*De) when
+    ``packed`` (ops/pallas/packing.py; e_norm then keeps that layout);
+    lng/lnb: (1, De) LayerNorm scale/bias;
     wlp/blp, wlc/blc: source linear maps (De, Dp)/(1, Dp) and (De, Dc)/(1, Dc);
     remaining arguments as in :func:`fused_dual_attend`.
-    Returns (e_norm (E, De) = relu(LN(e)), out_pt (n_pts, Dp),
-    out_cam (n_cams, Dc)).
+    Returns (e_norm = relu(LN(e)), out_pt (n_pts, Dp), out_cam (n_cams, Dc)).
     """
     from gasfm_tpu.ops.segment import get_kernel_precision
 
-    key = (Hp, Hc, float(eps), get_kernel_precision())
+    key = (Hp, Hc, float(eps), get_kernel_precision(), packed)
     fn = _FRONT_CACHE.get(key)
     if fn is None:
         fn = make_fused_frontend(*key)
