@@ -129,7 +129,15 @@ class SceneLoader:
     def _get_pool(self):
         """Persistent fork pool (the reference's DataLoader worker-process
         analogue, multiple_scenes_learning.py:48-50 with
-        dataset.dataloader_num_workers)."""
+        dataset.dataloader_num_workers).
+
+        CONSTRAINT: fork() after JAX initialization is only safe because the
+        workers never touch JAX — they run pure NumPy on inherited arrays
+        and ship results over pickle. Python 3.12 warns about forking a
+        multi-threaded process; a worker that imported/used jax would
+        deadlock. Keep _pool_get NumPy-only, or create loaders (and their
+        first batch) before first JAX use. Call close() when training ends —
+        __del__ is best-effort only."""
         if self._pool is None:
             import multiprocessing as mp
 
@@ -154,11 +162,14 @@ class SceneLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        # Per-item seeds drawn from the loader rng BEFORE dispatch. BOTH the
+        # in-process and the worker-pool path derive each sample from
+        # default_rng(seed), so a given loader seed produces the SAME
+        # sampling/augmentation stream for every num_workers setting
+        # (deterministic regardless of worker scheduling; pool tasks ship
+        # only (index, seed)).
+        seeds = self.rng.integers(0, 2**63 - 1, size=len(order))
         if self.num_workers > 0:
-            # Per-item seeds drawn from the loader rng BEFORE dispatch:
-            # deterministic per (loader seed, epoch) regardless of worker
-            # scheduling; tasks ship only (index, seed).
-            seeds = self.rng.integers(0, 2**63 - 1, size=len(order))
             pool = self._get_pool()
             it = pool.imap(_pool_get, list(zip(order.tolist(), seeds.tolist())),
                            chunksize=1)
@@ -172,7 +183,11 @@ class SceneLoader:
                 yield dataloader_collate_fn(batch)
             return
         for i in range(0, len(order), self.batch_size):
-            yield dataloader_collate_fn([self.dataset[j] for j in order[i : i + self.batch_size]])
+            yield dataloader_collate_fn([
+                self.dataset.get_with_rng(int(j), np.random.default_rng(int(s)))
+                for j, s in zip(order[i : i + self.batch_size],
+                                seeds[i : i + self.batch_size])
+            ])
 
     def __iter__(self) -> Iterator[List[SceneData]]:
         if self.prefetch <= 0:

@@ -65,6 +65,14 @@ import os as _os
 
 WINDOW = 128
 CHUNK = int(_os.environ.get("GASFM_CHUNK", "512"))
+# The Pallas block layouts and the caps/reshape invariants require a positive
+# multiple of 128 (sublane-divisible id-row blocks, lane-aligned chunks); an
+# off-grid override would fail far from here with confusing Mosaic errors.
+# Multi-host runs must set it identically in every process (it shapes the
+# compiled programs).
+assert CHUNK > 0 and CHUNK % 128 == 0, (
+    f"GASFM_CHUNK must be a positive multiple of 128, got {CHUNK}"
+)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -60,6 +60,13 @@ class GraphAttnSfMNet(nn.Module):
     view_head_n_hidden_layers: int = 2
     scenepoint_head_enabled: bool = True
     scenepoint_head_n_hidden_layers: int = 2
+    # Rematerialize each attention round in the backward pass: the jitted
+    # train step then saves only the per-layer boundary streams instead of
+    # every E-sized internal residual, trading ~1 extra forward of recompute
+    # for O(num_layers) less activation HBM. Lets multi-million-edge scenes
+    # train on one chip (the reference OOM-skips them, code/train.py:225-248).
+    # Conf key: model.remat_layers.
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(self, graph: ViewGraph) -> Dict[str, Any]:
@@ -96,6 +103,8 @@ class GraphAttnSfMNet(nn.Module):
         )
         e_packed = False
 
+        layer_cls = nn.remat(GraphAttnLayer) if self.remat_layers else GraphAttnLayer
+
         s = v = g = None
         for i in range(self.num_layers):
             first = i == 0
@@ -110,7 +119,7 @@ class GraphAttnSfMNet(nn.Module):
             elif e_packed and not layer_packed:
                 e = unpack_edges(e, CHUNK)
                 e_packed = False
-            e, s, v, g = GraphAttnLayer(
+            e, s, v, g = layer_cls(
                 n_feat_proj_in=d_emb if first else self.n_feat_proj,
                 n_feat_proj_out=proj_out,
                 n_feat_scenepoint_hidden=self.n_feat_scenepoint,
@@ -261,4 +270,5 @@ class GraphAttnSfMNet(nn.Module):
             scenepoint_head_n_hidden_layers=conf.get_int(
                 "model.scenepoint_head.n_hidden_layers", default=2
             ),
+            remat_layers=conf.get_bool("model.remat_layers", default=False),
         )

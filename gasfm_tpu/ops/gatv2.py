@@ -114,7 +114,7 @@ def gatv2_attend(
             W = WINDOW
             wb = window.block
         else:
-            W = _round_up(num_segments + 1, 128)
+            W = _round_up(max(num_segments, 1), 128)
             wb = jnp.zeros((E // _CHUNK,), dtype=jnp.int32)
         s_pad = _round_up(num_segments, W)
         ids = seg_ids.astype(jnp.int32)
@@ -205,7 +205,7 @@ def gatv2_attend_dual(
 
         W = WINDOW
         s_pad = _round_up(num_pts, W)
-        Wc = _round_up(num_cams + 1, 128)
+        Wc = _round_up(max(num_cams, 1), 128)
         pids = pt_ids.astype(jnp.int32)
         cids = cam_ids.astype(jnp.int32)
         if edge_mask is not None:
@@ -300,7 +300,7 @@ def gatv2_layer_frontend(
 
         W = WINDOW
         s_pad = _round_up(num_pts, W)
-        Wc = _round_up(num_cams + 1, 128)
+        Wc = _round_up(max(num_cams, 1), 128)
         pids = pt_ids.astype(jnp.int32)
         cids = cam_ids.astype(jnp.int32)
         if edge_mask is not None:

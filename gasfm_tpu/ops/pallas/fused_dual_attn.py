@@ -404,8 +404,22 @@ def _dual_bwd_kernel(
     hm = hm_ref[:]
     dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
               + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
-           + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
+    if mm_dtype == jnp.float32:
+        m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
+               + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
+    else:
+        # bf16 mode: p = exp(logits - m_e) amplifies any rounding of the
+        # softmax max exponentially, so the narrow m columns re-gather in
+        # f32 (one extra (CHUNK, W) x (W, HP) pass per direction).
+        m_p = jax.lax.dot_general(
+            ohT_p, packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_c = jax.lax.dot_general(
+            ohT_c, packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_e = m_p * hm[0:1, :] + m_c * hm[1:2, :]
 
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
@@ -1036,8 +1050,20 @@ def _front_bwd_kernel(
     hm = hm_ref[:]
     dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
               + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
-           + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
+    if mm_dtype == jnp.float32:
+        m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
+               + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
+    else:
+        # bf16 mode: f32 re-gather of the softmax max (see _dual_bwd_kernel).
+        m_p = jax.lax.dot_general(
+            ohT_p, packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_c = jax.lax.dot_general(
+            ohT_c, packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_e = m_p * hm[0:1, :] + m_c * hm[1:2, :]
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(

@@ -361,7 +361,7 @@ def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
              pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
         D = w_e.shape[1]
         s_pad = _round_up(num_pts, W)
-        Wc = _round_up(num_cams + 1, 128)
+        Wc = _round_up(max(num_cams, 1), 128)
         ps_pad = ps if ps.shape[0] == s_pad else jnp.pad(
             ps, ((0, s_pad - ps.shape[0]), (0, 0)))
         pv_pad = pv if pv.shape[0] == Wc else jnp.pad(
@@ -386,7 +386,7 @@ def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
         en_p, skip2_p, w_e, w_uv, pids2d, cids2d, wb = res
         D = w_e.shape[1]
         s_pad = _round_up(num_pts, W)
-        Wc = _round_up(num_cams + 1, 128)
+        Wc = _round_up(max(num_cams, 1), 128)
         we_bd = blockdiag(w_e)
         wuv_bd = blockdiag(w_uv) if has_skip else None
         outs = _bwd_raw(g, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb,

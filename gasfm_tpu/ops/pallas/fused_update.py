@@ -182,7 +182,7 @@ def fused_edge_combine(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W,
 
     ps: (num_pts, D) point table; pv: (num_cams, D) camera table; pg: (1, D).
     W: static point-window width. The camera table is one-hot-matched at
-    width Wc = round_up(num_cams + 1, 128) so the trash id num_cams lands on
+    width Wc = round_up(num_cams, 128); the trash id num_cams either lands on
     a zero-padded row.
     """
     out, _ = _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm)
@@ -191,7 +191,7 @@ def fused_edge_combine(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W,
 
 def _fec_run(pe, ps, pv, pg, pids2d, cids2d, wb, num_pts, num_cams, W, interpret, mm):
     s_pad = _round_up(num_pts, W)
-    Wc = _round_up(num_cams + 1, 128)
+    Wc = _round_up(max(num_cams, 1), 128)
     ps_pad = ps if ps.shape[0] == s_pad else jnp.pad(ps, ((0, s_pad - ps.shape[0]), (0, 0)))
     pv_pad = pv if pv.shape[0] == Wc else jnp.pad(pv, ((0, Wc - pv.shape[0]), (0, 0)))
     out = _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm=mm,

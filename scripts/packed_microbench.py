@@ -1,0 +1,147 @@
+"""Microbenchmark: packed vs unpacked fused kernels in isolation.
+
+Times, per chunk, on bench-scene shapes (m=128/n=8192):
+  - frontend fwd / fwd+bwd  (fused_dual_attn._front_{fwd,bwd}_raw), both
+    layouts,
+  - packed projection update fwd / fwd+bwd (fused_proj_update), vs the old
+    unpacked fused_update pair (which also needed XLA for concat/lin_proj —
+    not timed here; kernel-only comparison).
+
+Run: timeout 1800 python scripts/packed_microbench.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gasfm_tpu.data.synthetic import generate_synthetic_scene
+from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+from gasfm_tpu.ops.pallas import fused_update
+from gasfm_tpu.ops.pallas import fused_proj_update as fpu
+from gasfm_tpu.ops.pallas.fused_dual_attn import _front_bwd_raw, _front_fwd_raw
+from gasfm_tpu.ops.pallas.packing import PACK, blockdiag, pack_edges, tile_row
+
+
+def bench(fn, carry, n=100, reps=3):
+    @partial(jax.jit, static_argnames="n")
+    def run(c, n):
+        def body(c, _):
+            return fn(c), ()
+        out, _ = jax.lax.scan(body, c, None, length=n)
+        return out
+
+    jax.block_until_ready(run(carry, n))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(carry, n))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / n
+
+
+def main():
+    data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
+    g = data.to_scene_graph().graph
+    E = g.num_edges
+    nch = E // CHUNK
+    import os
+
+    mm = os.environ.get("GASFM_KERNEL_PRECISION", "f32")
+    De = Dp = Dc = D = 32
+    Hp = Hc = 4
+    W = WINDOW
+    Wc = int(os.environ.get("BENCH_WC", "128"))  # round_up(128 cams, 128)
+    s_pad = ((g.num_pts + W - 1) // W) * W
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)  # noqa: E731
+    e0 = r(E, De)
+    e0p = pack_edges(e0, CHUNK)
+    lng, lnb = r(1, De) + 1.0, r(1, De)
+    wlp, blp, wlc, blc = r(De, Dp), r(1, Dp), r(De, Dc), r(1, Dc)
+    xrp, xrc = r(s_pad, Dp), r(Wc, Dc)
+    attp, attc = r(1, Dp), r(1, Dc)
+    pids2d = g.pt_idx.astype(jnp.int32).reshape(nch, CHUNK)
+    cids2d = g.cam_idx.astype(jnp.int32).reshape(nch, CHUNK)
+    wb = g.pt_window.reshape(nch, CHUNK)[:, 0]
+    print(f"CHUNK={CHUNK} E_cap={E} chunks={nch} Wc={Wc} mm={mm}", flush=True)
+
+    def front_fwd(e, packed):
+        en, outp, outc, mdp, mdc = _front_fwd_raw(
+            e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+            pids2d, cids2d, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
+        return en + outp.sum() * 1e-9
+
+    def front_fwdbwd(e, packed):
+        en, outp, outc, mdp, mdc = _front_fwd_raw(
+            e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+            pids2d, cids2d, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
+        outs = _front_bwd_raw(
+            e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+            pids2d, cids2d, wb, mdp, mdc, outp, outc, outp, outc, en,
+            W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
+        return outs[0] * 1e-6 + e
+
+    for packed, e_in in ((False, e0), (True, e0p)):
+        t = bench(lambda e: front_fwd(e, packed), e_in)
+        t2 = bench(lambda e: front_fwdbwd(e, packed), e_in)
+        print(f"frontend packed={int(packed)}: fwd {t/nch*1e6:6.3f} us/chunk | "
+              f"fwd+bwd {t2/nch*1e6:6.3f} us/chunk", flush=True)
+
+    # Projection update. Packed (folded skip/res) vs old unpacked kernel.
+    skip2_p = pack_edges(r(E, 2), CHUNK)
+    res_p = e0p
+    w_e, b_, w_uv = r(De, D), r(1, D), r(2, D)
+    ps, pv, pg = r(s_pad, D), r(Wc, D), r(1, D)
+
+    def upd_packed(en_p):
+        out = fpu._fwd_raw(en_p, skip2_p, res_p, blockdiag(w_e),
+                           tile_row(b_ + pg), blockdiag(w_uv), ps, pv,
+                           pids2d, cids2d, wb, W, Wc, D, False, mm,
+                           True, True)
+        return out + en_p * 1e-9
+
+    def upd_packed_bwd(en_p):
+        out = fpu._fwd_raw(en_p, skip2_p, res_p, blockdiag(w_e),
+                           tile_row(b_ + pg), blockdiag(w_uv), ps, pv,
+                           pids2d, cids2d, wb, W, Wc, D, False, mm,
+                           True, True)
+        outs = fpu._bwd_raw(out, en_p, skip2_p, blockdiag(w_e), blockdiag(w_uv),
+                            pids2d, cids2d, wb, W, Wc, D, s_pad, False, mm,
+                            True)
+        return outs[0] * 1e-6 + en_p
+
+    def upd_unpacked(pe):
+        out = fused_update._fwd_raw(pe, ps, pv, pg, pids2d, cids2d, wb, W, Wc)
+        return out + pe * 1e-9
+
+    def upd_unpacked_bwd(pe):
+        out = fused_update._fwd_raw(pe, ps, pv, pg, pids2d, cids2d, wb, W, Wc)
+        outs = fused_update._bwd_raw(out, pids2d, cids2d, wb, s_pad, W, Wc)
+        return outs[0] * 1e-6 + pe
+
+    t = bench(upd_packed, e0p)
+    t2 = bench(upd_packed_bwd, e0p)
+    print(f"update packed (folded): fwd {t/nch*1e6:6.3f} us/chunk | "
+          f"fwd+bwd {t2/nch*1e6:6.3f} us/chunk", flush=True)
+    t = bench(upd_unpacked, e0)
+    t2 = bench(upd_unpacked_bwd, e0)
+    print(f"update unpacked (kernel only, excl. concat/lin_proj XLA): "
+          f"fwd {t/nch*1e6:6.3f} us/chunk | fwd+bwd {t2/nch*1e6:6.3f} us/chunk",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
