@@ -22,13 +22,20 @@ dispatch/tunnel latency does not pollute the measurement.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+# CHUNK=1024 measured fastest at the bench scene (+7% over 512: per-chunk
+# fixed costs amortize; the packed streams freed the VMEM that made the
+# backward OOM at this chunk length in round 2; 2048 still fails to
+# compile). Must be set before importing gasfm_tpu.
+os.environ.setdefault("GASFM_CHUNK", "1024")
+
 
 def _attainable_edges_per_s(
-    n_valid_edges: int, e_cap: int, chunk: int, n_layers: int,
+    n_valid_edges: int, e_cap: int, n_layers: int,
     n_params: int, hbm_gbps: float,
 ) -> float:
     """Honest attainable-throughput model at the bench shape (BENCHLOG
@@ -50,8 +57,10 @@ def _attainable_edges_per_s(
     relayout boundaries) is the remaining optimization headroom that
     ``vs_attainable`` exposes.
     """
-    KERNEL_US_PER_CHUNK_LAYER = 6.40 + 1.99
-    kernel_s = (e_cap / chunk) * n_layers * KERNEL_US_PER_CHUNK_LAYER * 1e-6
+    # (6.40 + 1.99) us per 512-edge chunk -> 16.4 ns per edge-capacity slot
+    # per layer (per-edge kernel cost is ~flat in CHUNK, measured).
+    KERNEL_NS_PER_EDGE_LAYER = (6.40 + 1.99) / 512 * 1e3
+    kernel_s = e_cap * n_layers * KERNEL_NS_PER_EDGE_LAYER * 1e-9
     adam_s = n_params * 4 * 7 / (hbm_gbps * 1e9)
     return n_valid_edges / (kernel_s + adam_s)
 
@@ -131,7 +140,6 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     attainable = _attainable_edges_per_s(
         n_valid_edges=n_edges, e_cap=scene.graph.num_edges,
-        chunk=__import__("gasfm_tpu.graph.view_graph", fromlist=["CHUNK"]).CHUNK,
         n_layers=9, n_params=n_params, hbm_gbps=hbm,
     )
 

@@ -96,6 +96,12 @@ class GraphAttnSfMNet(nn.Module):
             and graph.num_edges % CHUNK == 0
             and graph.num_cams <= 1024
         )
+        # Merged update+frontend kernel between consecutive packed layers
+        # (ops/pallas/fused_layer_step.py); GASFM_MERGED=0 is the A/B
+        # kill-switch.
+        import os as _os
+
+        use_merged = use_packed and _os.environ.get("GASFM_MERGED", "1") != "0"
         skip_init_packed = (
             pack_edges(skip_init, CHUNK)
             if (use_packed and skip_init is not None)
@@ -113,6 +119,20 @@ class GraphAttnSfMNet(nn.Module):
                 self.depth_head_n_feat if self.depth_head_enabled and last else self.n_feat_proj
             )
             layer_packed = use_packed and not first and proj_out == self.n_feat_proj
+            # Defer this layer's update iff the NEXT layer is also packed —
+            # the successor's frontend then materializes it in the merged
+            # kernel. The last packed layer always materializes, so no
+            # PendingUpdate ever leaves the loop.
+            next_proj_out = (
+                self.depth_head_n_feat
+                if self.depth_head_enabled and (i + 1 == self.num_layers - 1)
+                else self.n_feat_proj
+            )
+            next_packed = (
+                use_packed and i + 1 < self.num_layers
+                and next_proj_out == self.n_feat_proj
+            )
+            defer = use_merged and layer_packed and next_packed
             if layer_packed and not e_packed:
                 e = pack_edges(e, CHUNK)
                 e_packed = True
@@ -142,6 +162,7 @@ class GraphAttnSfMNet(nn.Module):
                 n_hidden_layers_global_update=self.n_hidden_layers_global_update,
                 n_hidden_layers_proj_update=self.n_hidden_layers_proj_update,
                 packed_edges=layer_packed,
+                defer_update=defer,
                 name=f"equivariant_blocks_{i}",
             )(
                 e,

@@ -14,7 +14,7 @@ zero bias for the GATv2 linears/attention (PyG GATv2Conv defaults).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,30 @@ from gasfm_tpu.ops.gatv2 import gatv2_attend, gatv2_attend_pool
 from gasfm_tpu.ops.segment import gather_segments, masked_mean, segment_mean
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+class PendingUpdate(NamedTuple):
+    """A layer's projection update, DEFERRED: the ingredients of
+
+        e_l = (en @ w_e [+ skip2-part] + b + ps[pt] + pv[cam] + pg) / 4
+              [+ res]
+
+    handed to the NEXT layer so its frontend can materialize e_l inside the
+    merged Pallas kernel (ops/pallas/fused_layer_step.py) — one launch for
+    update_l + frontend_{l+1}, shared one-hots, no e_l HBM round trip
+    between separate kernels. All fields are plain arrays (packed streams /
+    tables / weight slices), so the hand-off crosses flax module boundaries
+    without moving any parameters."""
+
+    en: object  # (E/4, 128) packed normalized edge stream
+    skip2: Optional[object]  # packed init-skip stream or None
+    res: Optional[object]  # packed residual stream (e_{l-1}) or None
+    w_e: object  # (De, De) lin_proj rows for en
+    b: object  # (De,)
+    w_uv: Optional[object]  # (D2, De) lin_proj rows for the skip stream
+    ps: object  # (N, De) point-table linear output
+    pv: object  # (M, De) camera-table linear output
+    pg: object  # (1, De) global linear output
 
 
 def _torch_uniform_init(bound: float):
@@ -505,19 +529,34 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
         )
         assert self.stateful == (prev_scenepoint_features is not None)
         assert self.stateful == (prev_view_features is not None)
+        e_prev = None
         if ln_params is not None:
             ln_scale, ln_bias, ln_eps = ln_params
             xr_p = proj2scenepoint.query_transform(prev_scenepoint_features, graph.num_pts)
             xr_c = proj2view.query_transform(prev_view_features, graph.num_cams)
             wlp, blp, att_p = proj2scenepoint.src_params()
             wlc, blc, att_c = proj2view.src_params()
-            x_edges, agg_p, agg_c = gatv2_layer_frontend(
-                x_edges, ln_scale, ln_bias, ln_eps,
-                wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
-                graph.pt_segment_windows(),
-                wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
-                edge_mask=graph.edge_mask, packed=self.packed_edges,
-            )
+            if isinstance(x_edges, PendingUpdate):
+                # The previous layer deferred its projection update; run it
+                # merged with this layer's frontend as one Pallas launch.
+                from gasfm_tpu.ops.gatv2 import merged_layer_frontend
+
+                assert self.packed_edges
+                e_prev, x_edges, agg_p, agg_c = merged_layer_frontend(
+                    x_edges, ln_scale, ln_bias, ln_eps,
+                    wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                    graph.pt_segment_windows(),
+                    wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                    edge_mask=graph.edge_mask,
+                )
+            else:
+                x_edges, agg_p, agg_c = gatv2_layer_frontend(
+                    x_edges, ln_scale, ln_bias, ln_eps,
+                    wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                    graph.pt_segment_windows(),
+                    wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                    edge_mask=graph.edge_mask, packed=self.packed_edges,
+                )
         else:
             xl_p, xr_p, att_p = proj2scenepoint.prepare(
                 x_edges, graph.num_pts, prev_scenepoint_features
@@ -564,10 +603,13 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             )(global_features, view_features)
 
         if ln_params is not None:
-            # x_edges is the fused-frontend's normalized edge features here.
+            # x_edges is the fused-frontend's normalized edge features here;
+            # e_prev is the previous layer's materialized update output when
+            # the input was a PendingUpdate (merged kernel), else None.
             if not self.output_global:
-                return scenepoint_features, view_features, x_edges
-            return scenepoint_features, view_features, global_features, x_edges
+                return scenepoint_features, view_features, x_edges, e_prev
+            return (scenepoint_features, view_features, global_features,
+                    x_edges, e_prev)
         if not self.output_global:
             return scenepoint_features, view_features
         return scenepoint_features, view_features, global_features
@@ -604,6 +646,7 @@ class ProjectionFeatureUpdate(nn.Module):
         packed: bool = False,
         skip2_p: Optional[jnp.ndarray] = None,  # packed init-skip stream
         res_p: Optional[jnp.ndarray] = None,  # packed residual stream
+        defer: bool = False,  # return PendingUpdate for the merged kernel
     ) -> jnp.ndarray:
         s, v, g = scenepoint_features, view_features, global_features
         if self.normalize_global_features:
@@ -629,6 +672,11 @@ class ProjectionFeatureUpdate(nn.Module):
             )()
             w_e = kernel[:De]
             w_uv = kernel[De:] if D2 else None
+            if defer:
+                return PendingUpdate(
+                    en=x_edges, skip2=skip2_p, res=res_p,
+                    w_e=w_e, b=bias, w_uv=w_uv, ps=ps, pv=pv, pg=pg,
+                )
             return packed_edge_update(
                 x_edges, skip2_p, res_p, w_e, bias, w_uv, ps, pv, pg,
                 graph.pt_idx.astype(jnp.int32).reshape(-1, CHUNK),
@@ -696,6 +744,11 @@ class GraphAttnLayer(nn.Module):
     # packed update kernel. Requires equal in/out widths, use_norm, and no
     # proj-update MLP (the flagship/learning GASFM configuration).
     packed_edges: bool = False
+    # Defer this layer's projection update: return a PendingUpdate that the
+    # NEXT layer materializes inside the merged update+frontend kernel
+    # (ops/pallas/fused_layer_step.py). Set by the net for every packed
+    # layer whose successor is also packed.
+    defer_update: bool = False
 
     @nn.compact
     def __call__(
@@ -738,7 +791,7 @@ class GraphAttnLayer(nn.Module):
             d_in = self.n_feat_proj_in if self.packed_edges else raw.shape[-1]
             ln_scale = self.param("prev_projfeat_norm_scale", nn.initializers.ones, (d_in,))
             ln_bias = self.param("prev_projfeat_norm_bias", nn.initializers.zeros, (d_in,))
-            s, v, g, x = global_update(
+            s, v, g, x, e_prev = global_update(
                 raw,
                 graph,
                 prev_scenepoint_features=prev_scenepoint_features,
@@ -746,6 +799,10 @@ class GraphAttnLayer(nn.Module):
                 prev_global_features=prev_global_features,
                 ln_params=(ln_scale, ln_bias, LN_EPS),
             )
+            if e_prev is not None:
+                # The merged kernel materialized the previous layer's e
+                # stream; it is this layer's residual.
+                raw = e_prev
         else:
             # Parity (reference layers.py:228-234): with use_norm_proj_update
             # False the edge features get ReLU only — no normalization.
@@ -777,7 +834,8 @@ class GraphAttnLayer(nn.Module):
                 n_hidden_layers=0,
                 normalize_global_features=True,
                 name="projection_feature_update",
-            )(s, v, g, e, graph, packed=True, skip2_p=skip2_p, res_p=res_p)
+            )(s, v, g, e, graph, packed=True, skip2_p=skip2_p, res_p=res_p,
+              defer=self.defer_update)
             return e, s, v, g
 
         if self.n_feat_skipconn_init_projfeat_in is not None:

@@ -335,3 +335,51 @@ def gatv2_layer_frontend(
     if packed:
         en = pack_edges(en, _CHUNK)
     return en, out_p, out_c
+
+
+def merged_layer_frontend(
+    pending,  # models.layers.PendingUpdate: the PREVIOUS layer's update
+    ln_scale, ln_bias, eps,
+    wlp, blp, att_p, xr_p, pt_ids, num_pts, window,
+    wlc, blc, att_c, xr_c, cam_ids, num_cams,
+    edge_mask=None, negative_slope: float = 0.2,
+):
+    """The merged inter-layer step: materialize the previous layer's
+    deferred projection update AND run THIS layer's fused frontend in one
+    Pallas launch (ops/pallas/fused_layer_step.py).
+
+    Only called when the packed fused path is eligible (the caller gates);
+    no composite fallback exists at this level — the non-merged path is the
+    fallback. Returns (e_prev_packed, e_norm_packed, out_pt, out_cam)."""
+    from gasfm_tpu.graph.view_graph import WINDOW
+    from gasfm_tpu.ops.pallas.fused_layer_step import fused_layer_step
+    from gasfm_tpu.ops.segment import current_edge_axis
+
+    Hp, Cp = xr_p.shape[1], xr_p.shape[2]
+    Hc, Cc = xr_c.shape[1], xr_c.shape[2]
+    De = ln_scale.shape[-1]
+    W = WINDOW
+    s_pad = _round_up(num_pts, W)
+    Wc = _round_up(max(num_cams, 1), 128)
+    pids = pt_ids.astype(jnp.int32)
+    cids = cam_ids.astype(jnp.int32)
+    if edge_mask is not None:
+        pids = jnp.where(edge_mask, pids, s_pad)
+        cids = jnp.where(edge_mask, cids, num_cams)
+    e_prev, en, out_p2, out_c2 = fused_layer_step(
+        Hp, Hc, eps,
+        pending.en, pending.skip2, pending.res,
+        pending.w_e, pending.b, pending.w_uv,
+        pending.ps, pending.pv, pending.pg,
+        ln_scale.reshape(1, De), ln_bias.reshape(1, De),
+        wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
+        xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
+        att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
+        pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
+        num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
+        edge_axis=current_edge_axis(),
+    )
+    if window.row_ok is not None:
+        out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
+    return (e_prev, en,
+            out_p2.reshape(num_pts, Hp, Cp), out_c2.reshape(num_cams, Hc, Cc))

@@ -1,0 +1,924 @@
+"""Merged inter-layer kernel: layer l's projection update + layer (l+1)'s
+frontend (LN + ReLU + source transforms + dual attention) as ONE Pallas
+launch per forward/backward over lane-packed edge streams.
+
+Why: the projection update (ops/pallas/fused_proj_update.py) and the next
+layer's frontend (ops/pallas/fused_dual_attn.py) sweep the same chunks,
+build the SAME transposed one-hots from the same id rows, and hand a full
+edge stream (e_l) across HBM between two kernel launches. The update's
+output feeds nothing but the next frontend (plus the next update's
+residual), so both fuse cleanly:
+
+    e_l      = (lin_proj_l([en_l | skip]) + ps_l[pt] + pv_l[cam] + pg_l)/4
+               (+ e_{l-1})                       -- update part, packed
+    en_{l+1} = relu(LN_{l+1}(e_l))               -- frontend part
+    aggs     = dual GATv2 attention over en_{l+1}-transformed edges
+
+Per chunk this saves one kernel launch chain, one full packed-stream
+write+read, and one duplicate pair of one-hot builds forward AND backward
+(the backward additionally skips recomputing the update: the saved e_l
+stream is one of its inputs).
+
+Parity: reference code/models/layers.py:150-263 (layer residual/update
+sequencing) + 873-956 (projection update) + 266-458 (the attention
+aggregators' source half); the math is identical to composing
+packed_edge_update with fused_frontend — asserted by tests/test_packed.py.
+
+The model drives this via the deferred-update protocol in
+models/layers.GraphAttnLayer: layer l hands its update ingredients (plain
+arrays) to layer l+1, whose call runs this kernel with its own LN/source
+params — every flax parameter stays inside its own layer's compact call.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
+from gasfm_tpu.ops.pallas.fused_attn import combine_attention_shards
+from gasfm_tpu.ops.pallas.fused_dual_attn import (
+    _dir_selector,
+    _head_masks,
+    _id_row,
+    _NEG,
+)
+from gasfm_tpu.ops.pallas.packing import (
+    PACK,
+    blockdiag,
+    repack_tile,
+    sum_diag_blocks,
+    sum_lane_groups,
+    tile_row,
+    unpack_tile,
+)
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _fwd_kernel(
+    wb_ref, pids_ref, cids_ref,
+    en_ref, *rest,
+    W: int, Wc: int, HP: int, slope: float, eps: float,
+    finalize: bool, mm_dtype, has_skip: bool, has_res: bool,
+):
+    i = 0
+    skip2_ref = rest[i] if has_skip else None
+    i += has_skip
+    res_ref = rest[i] if has_res else None
+    i += has_res
+    (we_ref, c0_ref) = rest[i], rest[i + 1]
+    i += 2
+    wuv_ref = rest[i] if has_skip else None
+    i += has_skip
+    (ps_ref, pv_ref, lng_ref, lnb_ref, wlp_ref, blp_ref, wlc_ref, blc_ref,
+     xrp_ref, xrc_ref, attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+     el_ref, ennext_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
+     mrun_scr) = rest[i:]
+
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+    last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
+
+    @pl.when(c == 0)
+    def _():
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
+        mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        mrun_scr[:] = jnp.full_like(mrun_scr, _NEG)
+
+    @pl.when(first_w)
+    def _():
+        outp_ref[:] = jnp.zeros_like(outp_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
+        mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
+        mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
+
+    # ---- shared transposed one-hots (built ONCE for update + attention).
+    local_row = _id_row(pids_ref, c) - wb * W
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
+
+    # ---- update part: e_l in unpacked space, written packed.
+    gathered = jax.lax.dot_general(
+        ohT_p_mm, ps_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        ohT_c_mm, pv_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, De)
+    core_p = jax.lax.dot_general(
+        en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + c0_ref[:]
+    if has_skip:
+        core_p += jax.lax.dot_general(
+            skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    e_l = (unpack_tile(core_p) + gathered) * 0.25
+    if has_res:
+        e_l += unpack_tile(res_ref[:])
+    el_ref[:] = repack_tile(e_l)
+
+    # ---- frontend part (identical math to fused_dual_attn._front_fwd_kernel
+    # with e := e_l).
+    mean = jnp.mean(e_l, axis=1, keepdims=True)
+    var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
+    xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
+    xn = xhat * lng_ref[:] + lnb_ref[:]
+    en = jnp.maximum(xn, 0.0)
+    ennext_ref[:] = repack_tile(en)
+    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+
+    z_p = xlp + jax.lax.dot_general(
+        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z_c = xlc + jax.lax.dot_general(
+        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    inwin = jax.lax.dot_general(
+        ohT_p, jnp.ones((W, 1), jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5
+    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
+
+    m_old = mrun_scr[0:1, :]
+    m_new = jnp.maximum(m_old, m_vec)
+    scale_row = jnp.exp(m_old - m_new)
+    mrun_scr[0:1, :] = m_new
+    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+    ).astype(jnp.float32)
+    scale_col = jax.lax.dot_general(
+        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_col = jax.lax.dot_general(
+        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scale_p_d = jax.lax.dot_general(
+        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scale_c_d = jax.lax.dot_general(
+        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
+        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
+        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if finalize:
+        @pl.when(last_w)
+        def _():
+            den = mdp_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outp_ref[:] = outp_ref[:] * inv_wd
+
+        @pl.when(c == nc - 1)
+        def _():
+            den = mdc_ref[HP : 2 * HP, :]
+            inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+            inv_wd = jax.lax.dot_general(
+                inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outc_ref[:] = outc_ref[:] * inv_wd
+
+
+def _bwd_kernel(
+    wb_ref, pids_ref, cids_ref,
+    en_ref, *rest,
+    W: int, Wc: int, HP: int, slope: float, eps: float,
+    mm_dtype, has_skip: bool, has_res: bool,
+):
+    i = 0
+    skip2_ref = rest[i] if has_skip else None
+    i += has_skip
+    (el_ref, we_ref) = rest[i], rest[i + 1]
+    i += 2
+    wuv_ref = rest[i] if has_skip else None
+    i += has_skip
+    (lng_ref, lnb_ref, wlp_ref, blp_ref, wlc_ref, blc_ref,
+     xrp_ref, xrc_ref, attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+     mdtp_ref, mdtc_ref, mwinp_ref, mcam_ref, outp_ref, outc_ref,
+     gp_ref, gc_ref, gen_ref, gel_ref) = rest[i : i + 23]
+    i += 23
+    den_out_ref = rest[i]
+    i += 1
+    dskip2_ref = rest[i] if has_skip else None
+    i += has_skip
+    dres_ref = rest[i] if has_res else None
+    i += has_res
+    (dps_ref, dpv_ref, dwe_ref) = rest[i], rest[i + 1], rest[i + 2]
+    i += 3
+    dwuv_ref = rest[i] if has_skip else None
+    i += has_skip
+    (dsum_ref, de_dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
+     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
+     packp_scr, packc_scr) = rest[i:]
+    dlng_ref = de_dlng_ref  # naming: (8, De) LN-scale grad accumulator
+
+    De = wlp_ref.shape[0]
+    Dp = wlp_ref.shape[1]
+    Dc = wlc_ref.shape[1]
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(c == 0)
+    def _():
+        dattp_ref[:] = jnp.zeros_like(dattp_ref)
+        dattc_ref[:] = jnp.zeros_like(dattc_ref)
+        dlng_ref[:] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dwlp_ref[:] = jnp.zeros_like(dwlp_ref)
+        dblp_ref[:] = jnp.zeros_like(dblp_ref)
+        dwlc_ref[:] = jnp.zeros_like(dwlc_ref)
+        dblc_ref[:] = jnp.zeros_like(dblc_ref)
+        dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
+        dpv_ref[:] = jnp.zeros_like(dpv_ref)
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+        if has_skip:
+            dwuv_ref[:] = jnp.zeros_like(dwuv_ref)
+        dsum_ref[:] = jnp.zeros_like(dsum_ref)
+        den = mdtc_ref[:, HP : 2 * HP]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = gc_ref[:]
+        go = jax.lax.dot_general(
+            g * outc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        packc_scr[:, 0:Dc] = xrc_ref[:]
+        packc_scr[:, Dc : 2 * Dc] = g * inv_wd
+        packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
+
+    @pl.when(first_w)
+    def _():
+        dxrp_ref[:] = jnp.zeros_like(dxrp_ref)
+        dps_ref[:] = jnp.zeros_like(dps_ref)
+        den = mdtp_ref[:, HP : 2 * HP]
+        inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
+        inv_wd = jax.lax.dot_general(
+            inv, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = gp_ref[:]
+        go = jax.lax.dot_general(
+            g * outp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        packp_scr[:, 0:Dp] = xrp_ref[:]
+        packp_scr[:, Dp : 2 * Dp] = g * inv_wd
+        packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
+
+    # ---- recompute the frontend prologue from the SAVED e_l stream (the
+    # update itself is not recomputed).
+    e_l = unpack_tile(el_ref[:])  # (CHUNK, De)
+    mean = jnp.mean(e_l, axis=1, keepdims=True)
+    var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (e_l - mean) * rstd
+    xn = xhat * lng_ref[:] + lnb_ref[:]
+    en = jnp.maximum(xn, 0.0)
+    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+
+    local_row = _id_row(pids_ref, c) - wb * W
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    match_p = local_row == seg_iota
+    ohT_p = match_p.astype(jnp.float32)
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+    match_c = _id_row(cids_ref, c) == cam_iota
+    ohT_c = match_c.astype(jnp.float32)
+    ohT_p_mm = match_p.astype(mm_dtype)
+    ohT_c_mm = match_c.astype(mm_dtype)
+
+    gep = jax.lax.dot_general(
+        ohT_p_mm, packp_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gec = jax.lax.dot_general(
+        ohT_c_mm, packc_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z_p = xlp + gep[:, 0:Dp]
+    z_c = xlc + gec[:, 0:Dc]
+    dnum_e_p = gep[:, Dp : 2 * Dp]
+    dnum_e_c = gec[:, Dc : 2 * Dc]
+    hm = hm_ref[:]
+    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
+              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
+    m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
+           + mcam_ref[0:1, :] * hm[1:2, :])
+    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    logits = jax.lax.dot_general(
+        gz_p * attp_ref[:], sselp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gz_c * attc_ref[:], sselc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+    dl = p * (
+        jax.lax.dot_general(
+            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + dden_e
+    )
+    dl_dp = jax.lax.dot_general(
+        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl_dc = jax.lax.dot_general(
+        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
+    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
+    p_dp = jax.lax.dot_general(
+        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p_dc = jax.lax.dot_general(
+        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dxlp = p_dp * dnum_e_p + dz_p
+    dxlc = p_dc * dnum_e_c + dz_c
+    dxrp_ref[:] += jax.lax.dot_general(
+        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxrc_ref[:] += jax.lax.dot_general(
+        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
+    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+
+    gen = unpack_tile(gen_ref[:])
+    d_en = (
+        jax.lax.dot_general(
+            dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + gen
+    )
+    dwlp_ref[:] += jax.lax.dot_general(
+        en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dblp_ref[0:1, :] += jnp.sum(dxlp, axis=0, keepdims=True)
+    dwlc_ref[:] += jax.lax.dot_general(
+        en, dxlc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
+
+    d_xn = jnp.where(xn > 0, d_en, 0.0)
+    dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
+    dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
+    d_xhat = d_xn * lng_ref[:]
+    mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+    d_el = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    d_el += unpack_tile(gel_ref[:])  # downstream cotangent of e_l
+
+    # ---- update backward (from the total e_l cotangent).
+    d_el_p = repack_tile(d_el)
+    if has_res:
+        dres_ref[:] = d_el_p
+    d_core_p = d_el_p * 0.25
+    den_out_ref[:] = jax.lax.dot_general(
+        d_core_p, we_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_skip:
+        dskip2_ref[:] = jax.lax.dot_general(
+            d_core_p, wuv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dwe_ref[:] += jax.lax.dot_general(
+        en_ref[:], d_core_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_skip:
+        dwuv_ref[:] += jax.lax.dot_general(
+            skip2_ref[:], d_core_p, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dsum_ref[0:1, :] += jnp.sum(d_core_p, axis=0, keepdims=True)
+    d_core = d_el * 0.25  # (CHUNK, De) for the table scatters
+    dps_ref[:] += jax.lax.dot_general(
+        ohT_p_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpv_ref[:] += jax.lax.dot_general(
+        ohT_c_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_ids(pids2d, cids2d):
+    rows8 = _round_up(pids2d.shape[0], 8)
+    if pids2d.shape[0] != rows8:
+        pids2d = jnp.pad(pids2d, ((0, rows8 - pids2d.shape[0]), (0, 0)))
+        cids2d = jnp.pad(cids2d, ((0, rows8 - cids2d.shape[0]), (0, 0)))
+    return pids2d, cids2d
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "Wc", "Hp", "Hc", "slope", "eps", "interpret", "finalize", "mm",
+    "has_skip", "has_res"))
+def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
+             lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+             interpret=False, finalize=True, mm="f32",
+             has_skip=True, has_res=True):
+    rows, pde = en_p.shape
+    De = pde // PACK
+    E = rows * PACK
+    Dp = wlp.shape[1]
+    Dc = wlc.shape[1]
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    Q = _CHUNK // PACK
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+    pids2d, cids2d = _pad_ids(pids2d, cids2d)
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
+
+    def stream(width):
+        return pl.BlockSpec((Q, width), lambda c, wb_ref: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    wblk = lambda c, wb_ref: (wb_ref[c], 0)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        stream(pde),
+    ]
+    operands = [pids2d, cids2d, en_p]
+    if has_skip:
+        in_specs.append(stream(skip2_p.shape[1]))
+        operands.append(skip2_p)
+    if has_res:
+        in_specs.append(stream(PACK * De))
+        operands.append(res_p)
+    in_specs += [
+        pl.BlockSpec((pde, PACK * De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, PACK * De), fixed, memory_space=pltpu.VMEM),
+    ]
+    operands += [we_bd, c0]
+    if has_skip:
+        in_specs.append(pl.BlockSpec((wuv_bd.shape[0], PACK * De), fixed,
+                                     memory_space=pltpu.VMEM))
+        operands.append(wuv_bd)
+    in_specs += [
+        pl.BlockSpec((W, De), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
+    ]
+    operands += [ps_pad, pv_pad, lng, lnb, wlp, blp, wlc, blc,
+                 xrp, xrc, attp, attc, sselp, sselc, hm]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=in_specs,
+        out_specs=[
+            stream(PACK * De),
+            stream(PACK * De),
+            pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, HP), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
+                          finalize=finalize, mm_dtype=mm_dtype,
+                          has_skip=has_skip, has_res=has_res),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32),
+            jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wb, *operands)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "Wc", "Hp", "Hc", "slope", "eps", "interpret", "mm",
+    "has_skip", "has_res"))
+def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
+             lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+             mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
+             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+             interpret=False, mm="f32", has_skip=True, has_res=True):
+    rows, pde = en_p.shape
+    De = pde // PACK
+    E = rows * PACK
+    Dp = wlp.shape[1]
+    Dc = wlc.shape[1]
+    HP = _round_up(Hp + Hc, 8)
+    s_pad = xrp.shape[0]
+    Q = _CHUNK // PACK
+    d2p = skip2_p.shape[1] if has_skip else 0
+    sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
+    sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
+    hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+    mdtp = mdp.T
+    mdtc = mdc.T
+    n_blocks = s_pad // W
+    mwinp = mdp[0:HP, ::W].T
+    mwinp = jnp.pad(mwinp, ((0, _round_up(n_blocks, 8) - n_blocks), (0, 0)))
+    mcam = jnp.pad(mdc[0:HP, 0:1].T, ((0, 7), (0, 0)))
+    pids2d, cids2d = _pad_ids(pids2d, cids2d)
+    mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
+
+    def stream(width):
+        return pl.BlockSpec((Q, width), lambda c, wb_ref: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
+    wblk = lambda c, wb_ref: (wb_ref[c], 0)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        stream(pde),
+    ]
+    operands = [pids2d, cids2d, en_p]
+    if has_skip:
+        in_specs.append(stream(d2p))
+        operands.append(skip2_p)
+    in_specs += [
+        stream(PACK * De),
+        pl.BlockSpec((pde, PACK * De), fixed, memory_space=pltpu.VMEM),
+    ]
+    operands += [el_p, we_bd]
+    if has_skip:
+        in_specs.append(pl.BlockSpec((d2p, PACK * De), fixed, memory_space=pltpu.VMEM))
+        operands.append(wuv_bd)
+    in_specs += [
+        pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, 2 * HP), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, 2 * HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, HP), lambda c, wb_ref: (wb_ref[c] // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+        stream(PACK * De),
+        stream(PACK * De),
+    ]
+    operands += [lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                 sselp, sselc, hm, mdtp, mdtc, mwinp, mcam, outp, outc,
+                 gp, gc, gen_p, gel_p]
+
+    out_specs = [stream(pde)]
+    out_shapes = [jax.ShapeDtypeStruct((rows, pde), jnp.float32)]
+    if has_skip:
+        out_specs.append(stream(d2p))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, d2p), jnp.float32))
+    if has_res:
+        out_specs.append(stream(PACK * De))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((W, De), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((pde, PACK * De), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((s_pad, De), jnp.float32),
+        jax.ShapeDtypeStruct((Wc, De), jnp.float32),
+        jax.ShapeDtypeStruct((pde, PACK * De), jnp.float32),
+    ]
+    if has_skip:
+        out_specs.append(pl.BlockSpec((d2p, PACK * De), fixed, memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((d2p, PACK * De), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((8, PACK * De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((8, PACK * De), jnp.float32),
+        jax.ShapeDtypeStruct((8, De), jnp.float32),
+        jax.ShapeDtypeStruct((8, De), jnp.float32),
+        jax.ShapeDtypeStruct((De, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((De, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // _CHUNK,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((W, 2 * Dp + HP), jnp.float32),
+            pltpu.VMEM((Wc, 2 * Dc + HP), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
+                          mm_dtype=mm_dtype, has_skip=has_skip, has_res=has_res),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(wb, *operands)
+
+
+def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
+                          has_skip: bool, has_res: bool):
+    """Custom-VJP merged layer step, statically specialized.
+
+    Differentiable in every array argument; ids return None cotangents.
+    Outputs: (e_l_p, en_next_p, out_pt, out_cam).
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25, 26, 27, 28))
+    def step(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+             lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+             pids2d, cids2d, wb,
+             n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
+        out, _ = _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+                      lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+                      pids2d, cids2d, wb,
+                      n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
+        return out
+
+    def _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+             lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+             pids2d, cids2d, wb,
+             n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
+        De = w_e.shape[1]
+        s_pad = _round_up(n_pts, W)
+        ps_pad = ps if ps.shape[0] == s_pad else jnp.pad(
+            ps, ((0, s_pad - ps.shape[0]), (0, 0)))
+        pv_pad = pv if pv.shape[0] == Wc else jnp.pad(
+            pv, ((0, Wc - pv.shape[0]), (0, 0)))
+        xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
+            xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0)))
+        xr_c_pad = xr_c if xr_c.shape[0] == Wc else jnp.pad(
+            xr_c, ((0, Wc - xr_c.shape[0]), (0, 0)))
+        we_bd = blockdiag(w_e)
+        c0 = tile_row(b.reshape(1, De) + pg.reshape(1, De))
+        wuv_bd = blockdiag(w_uv) if has_skip else None
+        el_p, ennext_p, outp, outc, mdp, mdc = _fwd_raw(
+            en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
+            lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
+            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+            interpret=interpret, finalize=edge_axis is None, mm=mm,
+            has_skip=has_skip, has_res=has_res,
+        )
+        if edge_axis is not None:
+            HP = _round_up(Hp + Hc, 8)
+            Dp = wlp.shape[1]
+            Dc = wlc.shape[1]
+            outp, mdp = combine_attention_shards(
+                outp, mdp, HP, Hp, Dp // Hp, edge_axis, wb=wb, W=W
+            )
+            mdc_r = jnp.concatenate([
+                mdc[Hp : Hp + Hc], mdc[HP + Hp : HP + Hp + Hc]
+            ], axis=0)
+            outc, mdc_g = combine_attention_shards(
+                outc, mdc_r, Hc, Hc, Dc // Hc, edge_axis
+            )
+            mdc = jnp.zeros_like(mdc)
+            mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
+            mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
+        res = (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
+               xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+               outp, outc, mdp, mdc)
+        return (el_p, ennext_p, outp[:n_pts], outc[:n_cams]), res
+
+    def _fwd(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+             lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+             pids2d, cids2d, wb,
+             n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
+        return _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+                    lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+                    pids2d, cids2d, wb,
+                    n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
+
+    def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
+        (gel_p, gen_p, gp_out, gc_out) = g
+        (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
+         xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+         outp, outc, mdp, mdc) = res
+        De = w_e.shape[1]
+        s_pad = xr_p_pad.shape[0]
+        gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
+            gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0)))
+        gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
+            gc_out, ((0, Wc - gc_out.shape[0]), (0, 0)))
+        we_bd = blockdiag(w_e)
+        wuv_bd = blockdiag(w_uv) if has_skip else None
+        outs = _bwd_raw(
+            en_p, skip2_p, el_p, we_bd, wuv_bd,
+            lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
+            mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
+            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+            interpret=interpret, mm=mm, has_skip=has_skip, has_res=has_res,
+        )
+        i = 0
+        den_p = outs[i]
+        i += 1
+        dskip2_p = outs[i] if has_skip else None
+        i += has_skip
+        dres_p = outs[i] if has_res else None
+        i += has_res
+        dps_full, dpv_full, dwe_bd = outs[i], outs[i + 1], outs[i + 2]
+        i += 3
+        dwuv_bd = outs[i] if has_skip else None
+        i += has_skip
+        (dsum8, dlng8, dlnb8, dwlp, dblp8, dwlc, dblc8,
+         dxrp_full, dxrc_full, dattp8, dattc8) = outs[i : i + 11]
+
+        visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
+        vis_col = jnp.repeat(visited, W)[:, None]
+        dps_full = jnp.where(vis_col, dps_full, 0.0)
+        dxrp_full = jnp.where(vis_col, dxrp_full, 0.0)
+        dsum = sum_lane_groups(dsum8[0:1], De)  # d(bias) == d(pg)
+        d2 = skip2_p.shape[1] // PACK if has_skip else 0
+        dw_e = sum_diag_blocks(dwe_bd, De, De)
+        dw_uv = sum_diag_blocks(dwuv_bd, d2, De) if has_skip else None
+        return (
+            den_p, dskip2_p, dres_p,
+            dw_e, dsum.reshape(-1), dw_uv,
+            dps_full[:n_pts], dpv_full[:n_cams], dsum,
+            dlng8[0:1], dlnb8[0:1], dwlp, dblp8[0:1], dwlc, dblc8[0:1],
+            dxrp_full[:n_pts], dxrc_full[:n_cams], dattp8[0:1], dattc8[0:1],
+            None, None, None,
+        )
+
+    step.defvjp(_fwd, _bwd)
+    return step
+
+
+_CACHE = {}
+
+
+def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
+                     ps, pv, pg, lng, lnb, wlp, blp, wlc, blc,
+                     xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+                     n_pts, n_cams, W, Wc, slope=0.2, interpret=False,
+                     edge_axis=None):
+    """Dispatch for the merged update+frontend step (see module docstring).
+
+    en_p: (E/PACK, PACK*De) packed normalized stream of the PREVIOUS layer;
+    res_p: packed residual stream (e_{l-1}) or None; skip2_p: packed
+    init-skip stream or None; w_e/b/w_uv: lin_proj split; ps/pv/pg: the
+    update's table linears' outputs; lng..att_c: the NEXT layer's frontend
+    parameters (lng/lnb (1, De); blp/blc (1, D); att (1, D)); xr_p/xr_c:
+    its query tables. Returns (e_l_p, en_next_p, out_pt, out_cam).
+    """
+    from gasfm_tpu.ops.segment import get_kernel_precision
+
+    key = (Hp, Hc, float(eps), get_kernel_precision(),
+           skip2_p is not None, res_p is not None)
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = make_fused_layer_step(*key)
+        _CACHE[key] = fn
+    return fn(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
+              lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
+              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
+              edge_axis)

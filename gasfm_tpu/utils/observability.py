@@ -50,11 +50,17 @@ def dump_predictions(conf, pred_dict: Dict, scene: str, phase, epoch=None, addit
 
 
 def write_results(conf, df: pd.DataFrame, file_name: str = "Results", additional_identifiers=None, append: bool = False):
-    """CSV result table with append-merge by the index column.
+    """Result table with append-merge by the index column.
 
-    Parity: reference general_utils.write_results (general_utils.py:61-77),
-    with .csv instead of .xlsx (no xlsx writer available here).
+    Parity: reference general_utils.write_results (general_utils.py:61-77).
+    Writes BOTH the reference's .xlsx artifact (via the dependency-free
+    gasfm_tpu.utils.xlsx writer — no xlsx engine ships in this image) and a
+    .csv twin. The CSV is the merge source of truth for append mode (it is
+    also what this module can re-read without an xlsx parser); the xlsx is
+    regenerated from the merged frame each time.
     """
+    from gasfm_tpu.utils.xlsx import write_xlsx
+
     exp_path = paths.path_to_exp(conf)
     file_name = "_".join([file_name] + list(additional_identifiers or []))
     path = os.path.join(exp_path, f"{file_name}.csv")
@@ -64,6 +70,7 @@ def write_results(conf, df: pd.DataFrame, file_name: str = "Results", additional
             prev = pd.read_csv(path).set_index(df.index.name)
             df = pd.concat([prev, df], axis=0)
     df.to_csv(path, na_rep="NULL")
+    write_xlsx(os.path.join(exp_path, f"{file_name}.xlsx"), df)
     return path
 
 

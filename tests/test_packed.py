@@ -334,3 +334,55 @@ class TestPackedModelEquivalence:
                 np.asarray(a), np.asarray(b),
                 err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
             )
+
+
+class TestMergedLayerStep:
+    """The merged update+frontend kernel (ops/pallas/fused_layer_step.py,
+    driven by the deferred-update protocol) must match the separate-kernels
+    packed path on the full model's loss and every parameter gradient."""
+
+    def test_gasfm_merged_matches_separate(self, monkeypatch):
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.graph.view_graph import build_view_graph
+        from gasfm_tpu.models.gasfm import GraphAttnSfMNet
+
+        data = generate_synthetic_scene(n_views=8, n_points=600, visibility=0.5, seed=9)
+        graph = build_view_graph(data.M, data.Ns)
+        model = GraphAttnSfMNet(
+            num_layers=4, n_heads=4, n_feat_proj=32, n_feat_scenepoint=24,
+            n_feat_view=40, n_feat_global=48, stateful_global_features=True,
+            add_skipconn_from_init_projfeat=True,
+        )
+        monkeypatch.setenv("GASFM_PACKED", "1")
+        monkeypatch.setenv("GASFM_MERGED", "0")
+        set_kernel_mode("interpret")
+        params = model.init(jax.random.PRNGKey(0), graph)
+
+        def loss_fn(p):
+            pred = model.apply(p, graph)
+            return (
+                jnp.sum(jnp.abs(pred["Ps_norm"])) * 1e-3
+                + jnp.sum(jnp.abs(pred["pts3D"])) * 1e-3
+            )
+
+        def run(merged_env):
+            monkeypatch.setenv("GASFM_MERGED", merged_env)
+            set_kernel_mode("interpret")
+            try:
+                l, g = jax.value_and_grad(loss_fn)(params)
+                return float(l), g
+            finally:
+                set_kernel_mode("auto")
+
+        l_s, g_s = run("0")
+        l_m, g_m = run("1")
+        np.testing.assert_allclose(l_m, l_s, rtol=2e-5)
+        flat_s = jax.tree_util.tree_leaves_with_path(g_s)
+        flat_m = jax.tree_util.tree_leaves(g_m)
+        assert len(flat_s) == len(flat_m)
+        for (path, gs), gm in zip(flat_s, flat_m):
+            scale = max(2e-4, float(np.abs(np.asarray(gs)).max()))
+            np.testing.assert_allclose(
+                np.asarray(gm), np.asarray(gs), atol=5e-4 * scale, rtol=2e-3,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
