@@ -314,20 +314,32 @@ def make_sharded_train_step(conf, model, mesh: Mesh):
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
-def make_sharded_forward(conf, model, mesh: Mesh):
-    """Sharded inference: returns the padded pred dict (replicated)."""
+def make_sharded_forward(conf, model, mesh: Mesh, grouped: bool = False):
+    """Sharded inference.
+
+    grouped=False: every data group evaluates the SAME scene; the padded
+    pred dict returns replicated.
+    grouped=True: each data group evaluates ITS slot's scene and the preds
+    stack on a leading (n_data, ...) axis — eval sweeps then shard their
+    scene list across the data axis instead of wasting (n_data-1)/n_data of
+    the mesh on replicated compute.
+    """
 
     def per_device(params, scene):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
         with edge_partitioned(EDGE_AXIS):
             pred = model.apply(params, scene.graph)
-        # Per-edge outputs (depth head) stay sharded; table outputs replicated.
+        # Per-edge outputs (depth head) stay sharded; table outputs replicated
+        # over the edge axis.
+        if grouped:
+            pred = jax.tree_util.tree_map(lambda x: x[None], pred)
         return pred
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)
-    out_specs = {"Ps_norm": P(), "pts3D": P()}
+    lead = (DATA_AXIS,) if grouped else ()
+    out_specs = {"Ps_norm": P(*lead), "pts3D": P(*lead)}
     if has_depths:
-        out_specs["depths"] = P(EDGE_AXIS)
+        out_specs["depths"] = P(*lead, EDGE_AXIS)
     if conf.get_bool("model.view_head.enabled", default=False) is False:
         out_specs.pop("Ps_norm", None)
     if conf.get_bool("model.scenepoint_head.enabled", default=False) is False:

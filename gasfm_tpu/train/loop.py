@@ -126,6 +126,9 @@ class TrainingSession:
             self._sharded_fused_fn = make_sharded_fused_step(conf, model, self.mesh, tx=self.tx)
             self._sharded_grad_fn = make_sharded_grad_step(conf, model, self.mesh)
             self._sharded_fwd_fn = make_sharded_forward(conf, model, self.mesh)
+            self._sharded_fwd_group_fn = make_sharded_forward(
+                conf, model, self.mesh, grouped=True
+            )
 
         def _update(params, opt_state, grads):
             grad_norm = optax.global_norm(grads)
@@ -205,6 +208,21 @@ class TrainingSession:
         # the data axis; edge-partitioned within each group).
         batched = stack_scene_graphs([scene] * self.n_data)
         return self._sharded_fwd_fn(params, batched)
+
+    def forward_group(self, params, scenes):
+        """Evaluate up to n_data DIFFERENT same-capacity scenes in one
+        sharded call — one per data group — returning a per-scene list of
+        pred dicts. Falls back to per-scene forwards off-mesh."""
+        if self.mesh is None or self.n_data <= 1:
+            return [self.forward(params, s) for s in scenes]
+        from gasfm_tpu.parallel import pad_scene_group
+
+        batched, _ = pad_scene_group(list(scenes), self.n_data)
+        preds = self._sharded_fwd_group_fn(params, batched)
+        return [
+            jax.tree_util.tree_map(lambda x, i=i: x[i], preds)
+            for i in range(len(scenes))
+        ]
 
     def accumulate(self, grads_a, grads_b):
         return self._acc_fn(grads_a, grads_b)
@@ -510,54 +528,103 @@ def epoch_evaluation(
     scenepoint_head = conf.get_bool("model.scenepoint_head.enabled")
     explicit = view_head and scenepoint_head
 
+    def _prep(curr_data):
+        if outlier_injection_rate is not None:
+            injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
+            assert injected is not None
+            model_data = injected
+        else:
+            model_data = curr_data
+        return curr_data, session.bucketize(model_data)
+
+    def _post(curr_data, scene_graph, pred, pred_time):
+        pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
+        outputs = prepare_predictions(curr_data, pred_np, conf, bundle_adjustment)
+        errors = compute_errors(outputs, conf, bundle_adjustment)
+        errors["Inference time"] = pred_time
+        errors["Scene"] = curr_data.scene_name
+
+        if epoch is None:
+            errors.update(curr_data.get_data_statistics())
+
+        if dump_and_plot_predictions:
+            out_clean = {k: v for k, v in outputs.items() if not isinstance(v, dict)}
+            dump_predictions(conf, out_clean, curr_data.scene_name, phase, epoch=epoch,
+                             additional_identifiers=additional_identifiers)
+            if conf.get_bool("dataset.calibrated") and explicit:
+                from gasfm_tpu.utils.plotting import plot_cameras_before_and_after_ba
+
+                plot_cameras_before_and_after_ba(
+                    outputs, errors, conf, phase, scene=curr_data.scene_name,
+                    epoch=epoch, bundle_adjustment=bundle_adjustment,
+                    additional_identifiers=additional_identifiers,
+                )
+        return errors
+
+    def _dummy(curr_data):
+        errors = get_dummy_errors(conf, bundle_adjustment)
+        errors["Inference time"] = float("nan")
+        errors["Scene"] = curr_data.scene_name
+        return errors
+
     errors_list = []
+    use_groups = session.mesh is not None and session.n_data > 1
+    if use_groups:
+        # Data-mesh eval: shard DIFFERENT same-capacity scenes across the
+        # data axis (one per group) instead of replicating one scene over
+        # all groups — a pod eval sweep then runs n_data scenes per call.
+        prepared = []
+        for batch_data in data_loader:
+            for curr_data in batch_data:
+                prepared.append(_prep(curr_data))
+
+        def _caps(sg):
+            g = sg.graph
+            return (g.num_cams, g.num_pts, g.num_edges, sg.gt_depths is not None)
+
+        i = 0
+        while i < len(prepared):
+            group = [prepared[i]]
+            i += 1
+            while (i < len(prepared) and len(group) < session.n_data
+                   and _caps(prepared[i][1]) == _caps(group[0][1])):
+                group.append(prepared[i])
+                i += 1
+            try:
+                begin = time()
+                preds = session.forward_group(params, [sg for _, sg in group])
+                jax.block_until_ready(preds)
+                pred_time = (time() - begin) / len(group)
+                for (curr_data, sg), pred in zip(group, preds):
+                    errors_list.append(_post(curr_data, sg, pred, pred_time))
+            except Exception as e:  # noqa: BLE001 - OOM-tolerance parity
+                if not _is_oom_error(e):
+                    raise
+                if crash_on_scene_exhausting_memory:
+                    raise
+                for curr_data, _ in group:
+                    print(f"Ran out of memory when evaluating on {curr_data.scene_name}.")
+                    errors_list.append(_dummy(curr_data))
+        return eval_errors_list2df(errors_list)
+
     for j, batch_data in enumerate(data_loader):
         if log_memory_consumption:
             print(f"Scene batch {j + 1}/{len(data_loader)}.")
         for curr_data in batch_data:
             try:
-                if outlier_injection_rate is not None:
-                    injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
-                    assert injected is not None
-                    model_data = injected
-                else:
-                    model_data = curr_data
-                scene_graph = session.bucketize(model_data)
+                curr_data, scene_graph = _prep(curr_data)
                 begin = time()
                 pred = session.forward(params, scene_graph)
                 jax.block_until_ready(pred)
                 pred_time = time() - begin
-
-                pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
-                outputs = prepare_predictions(curr_data, pred_np, conf, bundle_adjustment)
-                errors = compute_errors(outputs, conf, bundle_adjustment)
-                errors["Inference time"] = pred_time
-                errors["Scene"] = curr_data.scene_name
-
-                if epoch is None:
-                    errors.update(curr_data.get_data_statistics())
-
-                if dump_and_plot_predictions:
-                    out_clean = {k: v for k, v in outputs.items() if not isinstance(v, dict)}
-                    dump_predictions(conf, out_clean, curr_data.scene_name, phase, epoch=epoch,
-                                     additional_identifiers=additional_identifiers)
-                    if conf.get_bool("dataset.calibrated") and explicit:
-                        from gasfm_tpu.utils.plotting import plot_cameras_before_and_after_ba
-
-                        plot_cameras_before_and_after_ba(
-                            outputs, errors, conf, phase, scene=curr_data.scene_name,
-                            epoch=epoch, bundle_adjustment=bundle_adjustment,
-                            additional_identifiers=additional_identifiers,
-                        )
+                errors = _post(curr_data, scene_graph, pred, pred_time)
             except Exception as e:  # noqa: BLE001 - OOM-tolerance parity
                 if not _is_oom_error(e):
                     raise
                 if crash_on_scene_exhausting_memory:
                     raise
                 print(f"Ran out of memory when evaluating on {curr_data.scene_name}.")
-                errors = get_dummy_errors(conf, bundle_adjustment)
-                errors["Inference time"] = float("nan")
-                errors["Scene"] = curr_data.scene_name
+                errors = _dummy(curr_data)
 
             errors_list.append(errors)
 

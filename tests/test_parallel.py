@@ -380,3 +380,48 @@ parallel { distributed {
         assert initialize_distributed(conf) is True
         assert calls == {"coordinator_address": "10.0.0.1:1234",
                          "num_processes": 4, "process_id": 2}
+
+
+class TestGroupedMeshEval:
+    """epoch_evaluation on a (data, edge) mesh shards DIFFERENT scenes
+    across the data axis (one per group) and must produce the same error
+    table as the single-device evaluation."""
+
+    def test_grouped_eval_matches_single_device(self):
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.train.loop import TrainingSession, epoch_evaluation
+        from gasfm_tpu.utils.phases import Phases
+
+        scenes_data = [
+            generate_synthetic_scene(n_views=6, n_points=48, seed=s, scene_name=f"synth{s}")
+            for s in range(3)
+        ]
+        conf_single = ConfigFactory.parse_string(CONF)
+        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 4] }\n")
+
+        model = get_model(conf_single)
+        session_s = TrainingSession(conf_single, model)
+        graph0 = session_s.bucketize(scenes_data[0]).graph
+        params = model.init(jax.random.PRNGKey(3), graph0)
+
+        def run(conf, session):
+            loader = SceneLoader(ScenesDataSet(scenes_data, return_all=True),
+                                 batch_size=2, prefetch=0)
+            return epoch_evaluation(
+                loader, session, params, conf, -1, Phases.OPTIMIZATION,
+                bundle_adjustment=False, crash_on_scene_exhausting_memory=True,
+            )
+
+        df_single = run(conf_single, session_s)
+        session_m = TrainingSession(conf_mesh, get_model(conf_mesh))
+        assert session_m.mesh is not None and session_m.n_data == 2
+        df_mesh = run(conf_mesh, session_m)
+
+        assert list(df_single.index) == list(df_mesh.index)
+        for col in ("our_repro", "t_err_mean", "R_err_mean"):
+            np.testing.assert_allclose(
+                df_mesh[col].to_numpy(dtype=float),
+                df_single[col].to_numpy(dtype=float),
+                rtol=2e-3, atol=1e-4, err_msg=col,
+            )
