@@ -78,11 +78,23 @@ def _fwd_kernel(
     i += 2
     wuv_ref = rest[i] if has_skip else None
     i += has_skip
-    (ps_ref, pv_ref, lng_ref, lnb_ref, wlp_ref, blp_ref, wlc_ref, blc_ref,
-     xrp_ref, xrc_ref, attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    (ps_ref, pv_ref, lng_ref, lnb_ref, wlpc_ref, blpc_ref,
+     xrp_ref, xrc_ref, attpc_ref, sselpc_ref, hm_ref,
      el_ref, ennext_ref, outp_ref, outc_ref, mdp_ref, mdc_ref,
-     mrun_scr) = rest[i:]
+     mrun_scr, mega_scr) = rest[i:]
 
+    # Direction-stacked mega-passes: each MXU pass costs ~0.17 us of serial
+    # latency INDEPENDENT of output width up to 128 lanes (measured,
+    # scripts/matmul_width_probe.py — chained passes, N=32 == N=128), so the
+    # point and camera directions' narrow contractions stack into single
+    # wide passes over a (W+Wc, CHUNK) combined one-hot:
+    #   - ONE gather pass produces [xr_p-gather | xr_c-gather | update-table
+    #     gather | in-window flag] from a per-window (W+Wc, 128) operand,
+    #   - logits / p-expansion / num-scatter / den-scatter each run once
+    #     over lane-concatenated [point | camera] feature spaces.
+    De = ps_ref.shape[1]
+    Dpc = wlpc_ref.shape[1]  # Dp + Dc
+    Dp = xrp_ref.shape[1]
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     wb = wb_ref[c]
@@ -95,6 +107,10 @@ def _fwd_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, mdc_ref.shape, 0)
         mdc_ref[:] = jnp.where(row < HP, _NEG, 0.0)
         mrun_scr[:] = jnp.full_like(mrun_scr, _NEG)
+        # Global rows of the mega gather operand (camera direction).
+        mega_scr[:] = jnp.zeros_like(mega_scr)
+        mega_scr[W : W + Wc, Dp : Dpc] = xrc_ref[:]
+        mega_scr[W : W + Wc, Dpc : Dpc + De] = pv_ref[:]
 
     @pl.when(first_w)
     def _():
@@ -102,8 +118,12 @@ def _fwd_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, mdp_ref.shape, 0)
         mdp_ref[:] = jnp.where(row < HP, _NEG, 0.0)
         mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
+        # Window rows of the mega gather operand (point direction).
+        mega_scr[0:W, 0:Dp] = xrp_ref[:]
+        mega_scr[0:W, Dpc : Dpc + De] = ps_ref[:]
+        mega_scr[0:W, Dpc + De : Dpc + De + 1] = jnp.ones((W, 1), jnp.float32)
 
-    # ---- shared transposed one-hots (built ONCE for update + attention).
+    # ---- shared transposed one-hots, stacked along segments.
     local_row = _id_row(pids_ref, c) - wb * W
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     match_p = local_row == seg_iota
@@ -111,19 +131,20 @@ def _fwd_kernel(
     cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
     match_c = _id_row(cids_ref, c) == cam_iota
     ohT_c = match_c.astype(jnp.float32)
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    ohT_pc = jnp.concatenate([ohT_p, ohT_c], axis=0)  # (W+Wc, CHUNK)
+    ohT_pc_mm = ohT_pc.astype(mm_dtype)
+
+    # ---- ONE mega gather pass: z-gathers + update gathers + inwin flag.
+    gath = jax.lax.dot_general(
+        ohT_pc_mm, mega_scr[:].astype(mm_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (CHUNK, Dpc + De + 1) lanes (phys 128)
+    mega_w = mega_scr.shape[1]
+    g_upd = pltpu.roll(gath, mega_w - Dpc, 1)[:, 0:De]
+    inwin = pltpu.roll(gath, mega_w - (Dpc + De), 1)[:, 0:1] > 0.5
 
     # ---- update part: e_l in unpacked space, written packed.
-    gathered = jax.lax.dot_general(
-        ohT_p_mm, ps_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        ohT_c_mm, pv_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, De)
     core_p = jax.lax.dot_general(
         en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -133,49 +154,29 @@ def _fwd_kernel(
             skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    e_l = (unpack_tile(core_p) + gathered) * 0.25
+    e_l = (unpack_tile(core_p) + g_upd) * 0.25
     if has_res:
         e_l += unpack_tile(res_ref[:])
     el_ref[:] = repack_tile(e_l)
 
-    # ---- frontend part (identical math to fused_dual_attn._front_fwd_kernel
-    # with e := e_l).
+    # ---- frontend part over the lane-concatenated [point | camera] space.
     mean = jnp.mean(e_l, axis=1, keepdims=True)
     var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
     xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
     xn = xhat * lng_ref[:] + lnb_ref[:]
     en = jnp.maximum(xn, 0.0)
     ennext_ref[:] = repack_tile(en)
-    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
-    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+    xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
 
-    z_p = xlp + jax.lax.dot_general(
-        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_c = xlc + jax.lax.dot_general(
-        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    z_pc = xl_pc + gath[:, 0:Dpc]
+    gz = jnp.where(z_pc >= 0, z_pc, slope * z_pc)
     logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
+        gz * attpc_ref[:], sselpc_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    )  # (CHUNK, HP)
 
-    inwin = jax.lax.dot_general(
-        ohT_p, jnp.ones((W, 1), jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) > 0.5
     m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
-
     m_old = mrun_scr[0:1, :]
     m_new = jnp.maximum(m_old, m_vec)
     scale_row = jnp.exp(m_old - m_new)
@@ -194,41 +195,39 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+    p_dpc = jax.lax.dot_general(
+        p, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+    )  # (CHUNK, Dpc)
+    scale_pc_d = jax.lax.dot_general(
+        scale_row, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    scale_p_d = jax.lax.dot_general(
-        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scale_c_d = jax.lax.dot_general(
-        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
-        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+    )  # (1, Dpc)
+
+    num_stack = jax.lax.dot_general(
+        ohT_pc_mm, (p_dpc * xl_pc).astype(mm_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+    )  # (W+Wc, Dpc)
+    outp_ref[:] = outp_ref[:] * scale_pc_d[:, 0:Dp] + num_stack[0:W, 0:Dp]
+    out_c_new = pltpu.roll(num_stack[W : W + Wc, :], Dpc - Dp, 1)[:, 0 : Dpc - Dp]
+    outc_ref[:] = (
+        outc_ref[:] * pltpu.roll(scale_pc_d, Dpc - Dp, 1)[:, 0 : Dpc - Dp]
+        + out_c_new
     )
-    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
-        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+
+    den_stack = jax.lax.dot_general(
+        p, ohT_pc, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (HP, W+Wc)
     mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    mdp_ref[HP : 2 * HP, :] = (
+        mdp_ref[HP : 2 * HP, :] * scale_col + den_stack[:, 0:W]
     )
     mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    mdc_ref[HP : 2 * HP, :] = (
+        mdc_ref[HP : 2 * HP, :] * scale_col
+        + pltpu.roll(den_stack, (W + Wc) - W, 1)[:, 0:Wc]
     )
 
     if finalize:
@@ -237,7 +236,7 @@ def _fwd_kernel(
             den = mdp_ref[HP : 2 * HP, :]
             inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
             inv_wd = jax.lax.dot_general(
-                inv, sselp_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                inv, sselpc_ref[0:Dp, :], dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             outp_ref[:] = outp_ref[:] * inv_wd
@@ -247,7 +246,7 @@ def _fwd_kernel(
             den = mdc_ref[HP : 2 * HP, :]
             inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
             inv_wd = jax.lax.dot_general(
-                inv, sselc_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                inv, sselpc_ref[Dp:Dpc, :], dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             outc_ref[:] = outc_ref[:] * inv_wd
@@ -259,6 +258,11 @@ def _bwd_kernel(
     W: int, Wc: int, HP: int, slope: float, eps: float,
     mm_dtype, has_skip: bool, has_res: bool,
 ):
+    # Direction-stacked passes, mirroring _fwd_kernel: ONE per-edge gather
+    # over a column-disjoint (W+Wc, 2*Dpc+HP) per-window operand
+    # [xr_p | xr_c | dnum_p | dnum_c | dden(head-disjoint)], and single
+    # wide passes for dl / dl_d / p_d / dz-scatter / dps+dpv-scatter /
+    # d_en / dwl / dbl / datt.
     i = 0
     skip2_ref = rest[i] if has_skip else None
     i += has_skip
@@ -266,11 +270,11 @@ def _bwd_kernel(
     i += 2
     wuv_ref = rest[i] if has_skip else None
     i += has_skip
-    (lng_ref, lnb_ref, wlp_ref, blp_ref, wlc_ref, blc_ref,
-     xrp_ref, xrc_ref, attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
+    (lng_ref, lnb_ref, wlpc_ref, blpc_ref,
+     xrp_ref, xrc_ref, attpc_ref, sselpc_ref, hm_ref,
      mdtp_ref, mdtc_ref, mwinp_ref, mcam_ref, outp_ref, outc_ref,
-     gp_ref, gc_ref, gen_ref, gel_ref) = rest[i : i + 23]
-    i += 23
+     gp_ref, gc_ref, gen_ref, gel_ref) = rest[i : i + 19]
+    i += 19
     den_out_ref = rest[i]
     i += 1
     dskip2_ref = rest[i] if has_skip else None
@@ -281,49 +285,47 @@ def _bwd_kernel(
     i += 3
     dwuv_ref = rest[i] if has_skip else None
     i += has_skip
-    (dsum_ref, de_dlng_ref, dlnb_ref, dwlp_ref, dblp_ref, dwlc_ref, dblc_ref,
-     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
-     packp_scr, packc_scr) = rest[i:]
-    dlng_ref = de_dlng_ref  # naming: (8, De) LN-scale grad accumulator
+    (dsum_ref, dlng_ref, dlnb_ref, dwlpc_ref, dblpc_ref,
+     dxrp_ref, dxrc_ref, dattpc_ref, pack_scr) = rest[i:]
 
-    De = wlp_ref.shape[0]
-    Dp = wlp_ref.shape[1]
-    Dc = wlc_ref.shape[1]
+    De = wlpc_ref.shape[0]
+    Dpc = wlpc_ref.shape[1]
+    Dp = xrp_ref.shape[1]
+    Dc = Dpc - Dp
+    PW = pack_scr.shape[1]  # 2*Dpc + HP
     c = pl.program_id(0)
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
 
     @pl.when(c == 0)
     def _():
-        dattp_ref[:] = jnp.zeros_like(dattp_ref)
-        dattc_ref[:] = jnp.zeros_like(dattc_ref)
+        dattpc_ref[:] = jnp.zeros_like(dattpc_ref)
         dlng_ref[:] = jnp.zeros_like(dlng_ref)
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
-        dwlp_ref[:] = jnp.zeros_like(dwlp_ref)
-        dblp_ref[:] = jnp.zeros_like(dblp_ref)
-        dwlc_ref[:] = jnp.zeros_like(dwlc_ref)
-        dblc_ref[:] = jnp.zeros_like(dblc_ref)
+        dwlpc_ref[:] = jnp.zeros_like(dwlpc_ref)
+        dblpc_ref[:] = jnp.zeros_like(dblpc_ref)
         dxrc_ref[:] = jnp.zeros_like(dxrc_ref)
         dpv_ref[:] = jnp.zeros_like(dpv_ref)
         dwe_ref[:] = jnp.zeros_like(dwe_ref)
         if has_skip:
             dwuv_ref[:] = jnp.zeros_like(dwuv_ref)
         dsum_ref[:] = jnp.zeros_like(dsum_ref)
+        pack_scr[:] = jnp.zeros_like(pack_scr)
         den = mdtc_ref[:, HP : 2 * HP]
         inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            inv, sselpc_ref[Dp:Dpc, :], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         g = gc_ref[:]
         go = jax.lax.dot_general(
-            g * outc_ref[:], sselc_ref[:],
+            g * outc_ref[:], sselpc_ref[Dp:Dpc, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        packc_scr[:, 0:Dc] = xrc_ref[:]
-        packc_scr[:, Dc : 2 * Dc] = g * inv_wd
-        packc_scr[:, 2 * Dc : 2 * Dc + HP] = -go * inv
+        pack_scr[W : W + Wc, Dp:Dpc] = xrc_ref[:]
+        pack_scr[W : W + Wc, Dpc + Dp : 2 * Dpc] = g * inv_wd
+        pack_scr[W : W + Wc, 2 * Dpc : 2 * Dpc + HP] = -go * inv
 
     @pl.when(first_w)
     def _():
@@ -332,18 +334,18 @@ def _bwd_kernel(
         den = mdtp_ref[:, HP : 2 * HP]
         inv = jnp.where(den > 0, 1.0 / jnp.maximum(den, 1e-38), 0.0)
         inv_wd = jax.lax.dot_general(
-            inv, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            inv, sselpc_ref[0:Dp, :], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         g = gp_ref[:]
         go = jax.lax.dot_general(
-            g * outp_ref[:], sselp_ref[:],
+            g * outp_ref[:], sselpc_ref[0:Dp, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        packp_scr[:, 0:Dp] = xrp_ref[:]
-        packp_scr[:, Dp : 2 * Dp] = g * inv_wd
-        packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
+        pack_scr[0:W, 0:Dp] = xrp_ref[:]
+        pack_scr[0:W, Dpc : Dpc + Dp] = g * inv_wd
+        pack_scr[0:W, 2 * Dpc : 2 * Dpc + HP] = -go * inv
 
     # ---- recompute the frontend prologue from the SAVED e_l stream (the
     # update itself is not recomputed).
@@ -354,8 +356,7 @@ def _bwd_kernel(
     xhat = (e_l - mean) * rstd
     xn = xhat * lng_ref[:] + lnb_ref[:]
     en = jnp.maximum(xn, 0.0)
-    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
-    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+    xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
 
     local_row = _id_row(pids_ref, c) - wb * W
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
@@ -364,34 +365,22 @@ def _bwd_kernel(
     cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
     match_c = _id_row(cids_ref, c) == cam_iota
     ohT_c = match_c.astype(jnp.float32)
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    ohT_pc = jnp.concatenate([ohT_p, ohT_c], axis=0)
+    ohT_pc_mm = ohT_pc.astype(mm_dtype)
 
-    gep = jax.lax.dot_general(
-        ohT_p_mm, packp_scr[:].astype(mm_dtype),
+    gath = jax.lax.dot_general(
+        ohT_pc_mm, pack_scr[:].astype(mm_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gec = jax.lax.dot_general(
-        ohT_c_mm, packc_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_p = xlp + gep[:, 0:Dp]
-    z_c = xlc + gec[:, 0:Dc]
-    dnum_e_p = gep[:, Dp : 2 * Dp]
-    dnum_e_c = gec[:, Dc : 2 * Dc]
+        preferred_element_type=jnp.float32)  # (CHUNK, PW)
+    z_pc = xl_pc + gath[:, 0:Dpc]
+    dnum_pc = pltpu.roll(gath, PW - Dpc, 1)[:, 0:Dpc]
+    dden_e = pltpu.roll(gath, PW - 2 * Dpc, 1)[:, 0:HP]
     hm = hm_ref[:]
-    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
-              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
     m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
            + mcam_ref[0:1, :] * hm[1:2, :])
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+    gz = jnp.where(z_pc >= 0, z_pc, slope * z_pc)
     logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
+        gz * attpc_ref[:], sselpc_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -399,69 +388,40 @@ def _bwd_kernel(
 
     dl = p * (
         jax.lax.dot_general(
-            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + jax.lax.dot_general(
-            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            xl_pc * dnum_pc, sselpc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + dden_e
     )
-    dl_dp = jax.lax.dot_general(
-        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+    dl_dpc = jax.lax.dot_general(
+        dl, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dl_dc = jax.lax.dot_general(
-        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
-    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+    dz_pc = dl_dpc * attpc_ref[:] * jnp.where(z_pc >= 0, 1.0, slope)
+    p_dpc = jax.lax.dot_general(
+        p, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    dxlp = p_dp * dnum_e_p + dz_p
-    dxlc = p_dc * dnum_e_c + dz_c
-    dxrp_ref[:] += jax.lax.dot_general(
-        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+    dxl_pc = p_dpc * dnum_pc + dz_pc
+    scat_xr = jax.lax.dot_general(
+        ohT_pc_mm, dz_pc.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    dxrc_ref[:] += jax.lax.dot_general(
-        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
-    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+    )  # (W+Wc, Dpc)
+    dxrp_ref[:] += scat_xr[0:W, 0:Dp]
+    dxrc_ref[:] += pltpu.roll(scat_xr[W : W + Wc, :], Dpc - Dp, 1)[:, 0:Dc]
+    dattpc_ref[0:1, :] += jnp.sum(dl_dpc * gz, axis=0, keepdims=True)
 
     gen = unpack_tile(gen_ref[:])
-    d_en = (
-        jax.lax.dot_general(
-            dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + jax.lax.dot_general(
-            dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + gen
-    )
-    dwlp_ref[:] += jax.lax.dot_general(
-        en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
+    d_en = jax.lax.dot_general(
+        dxl_pc, wlpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + gen
+    dwlpc_ref[:] += jax.lax.dot_general(
+        en, dxl_pc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dblp_ref[0:1, :] += jnp.sum(dxlp, axis=0, keepdims=True)
-    dwlc_ref[:] += jax.lax.dot_general(
-        en, dxlc, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
+    dblpc_ref[0:1, :] += jnp.sum(dxl_pc, axis=0, keepdims=True)
 
     d_xn = jnp.where(xn > 0, d_en, 0.0)
     dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
@@ -497,14 +457,12 @@ def _bwd_kernel(
         )
     dsum_ref[0:1, :] += jnp.sum(d_core_p, axis=0, keepdims=True)
     d_core = d_el * 0.25  # (CHUNK, De) for the table scatters
-    dps_ref[:] += jax.lax.dot_general(
-        ohT_p_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+    scat_upd = jax.lax.dot_general(
+        ohT_pc_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    dpv_ref[:] += jax.lax.dot_general(
-        ohT_c_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    )  # (W+Wc, De)
+    dps_ref[:] += scat_upd[0:W, :]
+    dpv_ref[:] += scat_upd[W : W + Wc, :]
 
 
 def _pad_ids(pids2d, cids2d):
@@ -565,25 +523,28 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
         in_specs.append(pl.BlockSpec((wuv_bd.shape[0], PACK * De), fixed,
                                      memory_space=pltpu.VMEM))
         operands.append(wuv_bd)
+    # Direction-stacked frontend operands (see _fwd_kernel).
+    Dpc = Dp + Dc
+    wlpc = jnp.concatenate([wlp, wlc], axis=1)  # (De, Dpc)
+    blpc = jnp.concatenate([blp, blc], axis=1)  # (1, Dpc)
+    attpc = jnp.concatenate([attp, attc], axis=1)  # (1, Dpc)
+    sselpc = jnp.concatenate([sselp, sselc], axis=0)  # (Dpc, HP)
+    mega_w = _round_up(Dpc + De + 1, 128)
     in_specs += [
         pl.BlockSpec((W, De), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, De), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dpc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dpc), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dpc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dpc, HP), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
     ]
-    operands += [ps_pad, pv_pad, lng, lnb, wlp, blp, wlc, blc,
-                 xrp, xrc, attp, attc, sselp, sselc, hm]
+    operands += [ps_pad, pv_pad, lng, lnb, wlpc, blpc,
+                 xrp, xrc, attpc, sselpc, hm]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -597,7 +558,10 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
             pl.BlockSpec((2 * HP, W), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * HP, Wc), fixed, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((8, HP), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, HP), jnp.float32),
+            pltpu.VMEM((W + Wc, mega_w), jnp.float32),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
@@ -636,6 +600,12 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
     sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
+    # Direction-stacked operands (see _bwd_kernel).
+    Dpc = Dp + Dc
+    wlpc = jnp.concatenate([wlp, wlc], axis=1)
+    blpc = jnp.concatenate([blp, blc], axis=1)
+    attpc = jnp.concatenate([attp, attc], axis=1)
+    sselpc = jnp.concatenate([sselp, sselc], axis=0)
     mdtp = mdp.T
     mdtc = mdc.T
     n_blocks = s_pad // W
@@ -672,16 +642,12 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
     in_specs += [
         pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dpc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dpc), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Dp, HP), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Dc, HP), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dpc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Dpc, HP), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((2, HP), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((W, 2 * HP), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, 2 * HP), fixed, memory_space=pltpu.VMEM),
@@ -694,8 +660,8 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
         stream(PACK * De),
         stream(PACK * De),
     ]
-    operands += [lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                 sselp, sselc, hm, mdtp, mdtc, mwinp, mcam, outp, outc,
+    operands += [lng, lnb, wlpc, blpc, xrp, xrc, attpc,
+                 sselpc, hm, mdtp, mdtc, mwinp, mcam, outp, outc,
                  gp, gc, gen_p, gel_p]
 
     out_specs = [stream(pde)]
@@ -723,27 +689,21 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
         pl.BlockSpec((8, PACK * De), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, De), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((De, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((De, Dpc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dpc), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((W, Dp), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, Dc), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, Dp), fixed, memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, Dc), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, Dpc), fixed, memory_space=pltpu.VMEM),
     ]
     out_shapes += [
         jax.ShapeDtypeStruct((8, PACK * De), jnp.float32),
         jax.ShapeDtypeStruct((8, De), jnp.float32),
         jax.ShapeDtypeStruct((8, De), jnp.float32),
-        jax.ShapeDtypeStruct((De, Dp), jnp.float32),
-        jax.ShapeDtypeStruct((8, Dp), jnp.float32),
-        jax.ShapeDtypeStruct((De, Dc), jnp.float32),
-        jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((De, Dpc), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dpc), jnp.float32),
         jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
         jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
-        jax.ShapeDtypeStruct((8, Dp), jnp.float32),
-        jax.ShapeDtypeStruct((8, Dc), jnp.float32),
+        jax.ShapeDtypeStruct((8, Dpc), jnp.float32),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -752,8 +712,7 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((W, 2 * Dp + HP), jnp.float32),
-            pltpu.VMEM((Wc, 2 * Dc + HP), jnp.float32),
+            pltpu.VMEM((W + Wc, 2 * Dpc + HP), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -869,8 +828,8 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         i += 3
         dwuv_bd = outs[i] if has_skip else None
         i += has_skip
-        (dsum8, dlng8, dlnb8, dwlp, dblp8, dwlc, dblc8,
-         dxrp_full, dxrc_full, dattp8, dattc8) = outs[i : i + 11]
+        (dsum8, dlng8, dlnb8, dwlpc, dblpc8,
+         dxrp_full, dxrc_full, dattpc8) = outs[i : i + 8]
 
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
         vis_col = jnp.repeat(visited, W)[:, None]
@@ -880,12 +839,17 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         d2 = skip2_p.shape[1] // PACK if has_skip else 0
         dw_e = sum_diag_blocks(dwe_bd, De, De)
         dw_uv = sum_diag_blocks(dwuv_bd, d2, De) if has_skip else None
+        # Split the direction-stacked frontend grads back per direction.
+        Dp = xr_p_pad.shape[1]
         return (
             den_p, dskip2_p, dres_p,
             dw_e, dsum.reshape(-1), dw_uv,
             dps_full[:n_pts], dpv_full[:n_cams], dsum,
-            dlng8[0:1], dlnb8[0:1], dwlp, dblp8[0:1], dwlc, dblc8[0:1],
-            dxrp_full[:n_pts], dxrc_full[:n_cams], dattp8[0:1], dattc8[0:1],
+            dlng8[0:1], dlnb8[0:1],
+            dwlpc[:, 0:Dp], dblpc8[0:1, 0:Dp],
+            dwlpc[:, Dp:], dblpc8[0:1, Dp:],
+            dxrp_full[:n_pts], dxrc_full[:n_cams],
+            dattpc8[0:1, 0:Dp], dattpc8[0:1, Dp:],
             None, None, None,
         )
 
