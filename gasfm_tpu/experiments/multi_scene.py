@@ -67,13 +67,18 @@ def train_model(conf, model, params, train_set, eval_data_loaders, phase, rng=No
         # 48-50); 0/null keeps the in-process prefetch-thread path.
         num_workers=conf.get_int("dataset.dataloader_num_workers", default=0) or 0,
     )
-    trained_params, train_stats = train(
-        conf, train_loader, model, params, phase,
-        train_loader_for_eval=eval_data_loaders["train_loader_for_eval"],
-        val_loader=eval_data_loaders["validation_loader"],
-        test_loader=eval_data_loaders["test_loader"],
-        rng=rng,
-    )
+    try:
+        trained_params, train_stats = train(
+            conf, train_loader, model, params, phase,
+            train_loader_for_eval=eval_data_loaders["train_loader_for_eval"],
+            val_loader=eval_data_loaders["validation_loader"],
+            test_loader=eval_data_loaders["test_loader"],
+            rng=rng,
+        )
+    finally:
+        # Terminate the fork worker pool (if any) deterministically at the
+        # end of training instead of relying on __del__ (advisor round 2).
+        train_loader.close()
     write_results(conf, train_stats.round(3), file_name="train_stats")
     return trained_params, train_stats
 
