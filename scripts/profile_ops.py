@@ -13,7 +13,7 @@ import time
 from functools import partial
 
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -140,7 +140,7 @@ def main():
 
     # --- full model fwd / train step at bench scale ---
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
     from __graft_entry__ import _flagship_conf
     from gasfm_tpu.data.synthetic import generate_synthetic_scene
     from gasfm_tpu.losses import get_loss_func

@@ -1,6 +1,6 @@
 """Time the windowed Pallas kernels vs XLA on a real blocked graph."""
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from functools import partial
 import jax, jax.numpy as jnp, numpy as np
 

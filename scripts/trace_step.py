@@ -15,7 +15,7 @@ import sys
 import time
 from collections import defaultdict
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ def main():
     loss_func = get_loss_func(conf)
     data_s = generate_synthetic_scene(n_views=64, n_points=4096, visibility=0.2, seed=0)
     scene = data_s.to_scene_graph()
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parents[1] / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     print("E_cap:", scene.graph.num_edges, "N_cap:", scene.graph.num_pts,
