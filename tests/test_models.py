@@ -174,3 +174,36 @@ class TestDepthHead:
         params, pred = init_and_run(model, graph)
         assert pred["depths"].shape == (graph.num_edges,)
         assert np.isfinite(np.asarray(pred["depths"])[np.asarray(graph.edge_mask)]).all()
+
+
+class TestRematLayers:
+    """model.remat_layers wraps each attention round in nn.remat: same math
+    (up to XLA fusion-boundary float reassociation) — only the backward's
+    activation memory changes (BENCHLOG: lets 2M+-edge scenes train on one
+    chip where the reference OOM-skips, train.py:225-248)."""
+
+    def test_remat_is_numerically_identical(self):
+        import jax.numpy as jnp
+
+        from gasfm_tpu.models.gasfm import GraphAttnSfMNet
+
+        data = generate_synthetic_scene(n_views=7, n_points=300, seed=2)
+        graph = build_view_graph(data.M, data.Ns)
+        kw = dict(num_layers=3, n_heads=4, n_feat_proj=32, n_feat_scenepoint=24,
+                  n_feat_view=40, n_feat_global=48)
+        m0 = GraphAttnSfMNet(**kw)
+        m1 = GraphAttnSfMNet(**kw, remat_layers=True)
+        params = m0.init(jax.random.PRNGKey(0), graph)
+
+        def loss(model, p):
+            pred = model.apply(p, graph)
+            return (jnp.sum(jnp.abs(pred["Ps_norm"])) * 1e-3
+                    + jnp.sum(jnp.abs(pred["pts3D"])) * 1e-3)
+
+        l0, g0 = jax.value_and_grad(lambda q: loss(m0, q))(params)
+        l1, g1 = jax.value_and_grad(lambda q: loss(m1, q))(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1e-4, np.abs(a).max())
+            np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
