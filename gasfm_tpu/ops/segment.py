@@ -153,10 +153,37 @@ def edge_replicated():
         _EDGE_AXIS.reset(token)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_replicated(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def _psum_replicated_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _psum_replicated_bwd(axis, _, g):
+    # Exact transpose of "per-shard partials -> replicated sum": deliver the
+    # (replicated) output cotangent to every shard UNCHANGED. The sharded
+    # train steps rely on it: every parameter gradient then comes out as a
+    # shard-local PARTIAL, and their single trailing psum yields the exact
+    # global gradient. jax's own transpose of psum under
+    # shard_map(check_vma=False) instead re-psums the cotangent — measured
+    # to scale gradients by the edge-shard count and corrupt mixed paths
+    # (tests/test_parallel.py::TestPackedMergedUnderSharding).
+    return (g,)
+
+
+_psum_replicated.defvjp(_psum_replicated_fwd, _psum_replicated_bwd)
+
+
 def all_sum(x: jnp.ndarray) -> jnp.ndarray:
     """Sum across the edge shards (identity outside edge-partitioned scope)."""
     axis = _EDGE_AXIS.get()
-    return x if axis is None else jax.lax.psum(x, axis)
+    return x if axis is None else _psum_replicated(x, axis)
 
 
 def _all_max(x: jnp.ndarray) -> jnp.ndarray:

@@ -69,9 +69,16 @@ def make_scenes(n, caps=None):
 
 @pytest.fixture(scope="module")
 def setup():
+    from gasfm_tpu.graph.view_graph import CHUNK
+
     conf = ConfigFactory.parse_string(CONF)
     model = get_model(conf)
-    scenes = make_scenes(2, caps=(8, 256, 512))
+    # Production sharding contract (GraphBucketizer): edge caps are a
+    # multiple of n_edge_shards * CHUNK so every shard's slice is
+    # CHUNK-aligned. The exact-gradient guarantee of the edge collectives
+    # (segment._psum_replicated) holds under that contract; sub-chunk
+    # shards are outside it.
+    scenes = make_scenes(2, caps=(8, 256, 4 * CHUNK))
     params = model.init(jax.random.PRNGKey(0), scenes[0].graph)
     return conf, model, scenes, params
 
@@ -424,4 +431,77 @@ class TestGroupedMeshEval:
                 df_mesh[col].to_numpy(dtype=float),
                 df_single[col].to_numpy(dtype=float),
                 rtol=2e-3, atol=1e-4, err_msg=col,
+            )
+
+
+class TestPackedMergedUnderSharding:
+    """The PACKED + MERGED kernel path (packing.py / fused_layer_step.py)
+    under edge partitioning: the full-model sharded loss and gradients must
+    match single-device execution with the same kernels active (interpret
+    mode; num/m/den triples combine via combine_attention_shards, the
+    merged update's table/weight grads ride the trailing grad psum)."""
+
+    def test_sharded_grads_match_single_device(self, monkeypatch):
+        from gasfm_tpu.graph.view_graph import CHUNK
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.ops.segment import edge_partitioned
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        conf = ConfigFactory.parse_string(CONF)
+        for k, v in dict(n_feat_proj=32, num_layers=3, n_heads=4).items():
+            conf.put(f"model.{k}", v)
+        model = get_model(conf)
+        loss_func = get_loss_func(conf)
+
+        data = generate_synthetic_scene(n_views=6, n_points=220, visibility=0.6, seed=4)
+        # 2 shards, each a whole number of chunks.
+        scene = data.to_scene_graph(caps=(8, 256, 4 * CHUNK))
+        assert scene.graph.num_edges % (2 * CHUNK) == 0
+
+        monkeypatch.setenv("GASFM_PACKED", "1")
+        monkeypatch.setenv("GASFM_MERGED", "1")
+        seg.set_kernel_mode("interpret")
+        try:
+            params = model.init(jax.random.PRNGKey(1), scene.graph)
+
+            def loss_fn(p, sc):
+                return loss_func(model.apply(p, sc.graph), sc)
+
+            l_single, g_single = jax.value_and_grad(loss_fn)(params, scene)
+
+            from gasfm_tpu.parallel import (
+                EDGE_AXIS,
+                make_mesh,
+                scene_graph_specs,
+                stack_scene_graphs,
+            )
+
+            mesh = make_mesh(n_edge=2, n_data=1)
+            batched = stack_scene_graphs([scene])
+
+            def per_device(p, sc):
+                sc = jax.tree_util.tree_map(lambda x: x[0], sc)
+                with edge_partitioned(EDGE_AXIS):
+                    loss, grads = jax.value_and_grad(loss_fn)(p, sc)
+                return loss, jax.lax.psum(grads, EDGE_AXIS)
+
+            sharded = jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P(), scene_graph_specs(batched=True, has_depths=False)),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            l_mesh, g_mesh = jax.jit(sharded)(params, batched)
+        finally:
+            seg.set_kernel_mode("auto")
+
+        np.testing.assert_allclose(float(l_mesh), float(l_single), rtol=2e-5)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_single),
+            jax.tree_util.tree_leaves(g_mesh),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(2e-4, np.abs(a).max())
+            np.testing.assert_allclose(
+                b, a, atol=5e-4 * scale, rtol=2e-3,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
