@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gasfm_tpu.graph.view_graph import SceneGraph, ViewGraph
-from gasfm_tpu.ops.segment import all_sum, gather_segments
+from gasfm_tpu.ops.segment import all_sum, all_sum_final, gather_segments
 
 
 def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -143,7 +143,9 @@ class ESFMLoss:
             if self.normalize_grad_valid_only:
                 # Divide by #(valid & positive) projections, at least 1
                 # (reference loss_functions.py:105).
-                count = all_sum(jnp.sum((graph.edge_mask & pos_mask).astype(jnp.float32)))
+                count = all_sum_final(
+                    jnp.sum((graph.edge_mask & pos_mask).astype(jnp.float32))
+                )
                 inv_count = 1.0 / jnp.maximum(count, 1.0)
                 proj = _equalize_grads_valid_only(
                     proj, pos_mask.astype(jnp.float32), inv_count
@@ -152,7 +154,7 @@ class ESFMLoss:
                 # Original behavior: normalize everywhere, divide by #valid
                 # (reference loss_functions.py:110).
                 inv_count = 1.0 / jnp.maximum(
-                    all_sum(jnp.sum(graph.edge_mask.astype(jnp.float32))), 1.0
+                    all_sum_final(jnp.sum(graph.edge_mask.astype(jnp.float32))), 1.0
                 )
                 proj = _equalize_grads_all(proj, inv_count)
             depth = proj[:, 2]
@@ -163,7 +165,10 @@ class ESFMLoss:
         reproj = safe_norm(pts2d - graph.uv, axis=1)
         per_edge = jnp.where(pos_mask, reproj, hinge)
         mask = graph.edge_mask.astype(per_edge.dtype)
-        return all_sum(jnp.sum(per_edge * mask)) / jnp.maximum(all_sum(jnp.sum(mask)), 1.0)
+        # Final reductions: the loss cotangent is the replicated seed.
+        return all_sum_final(jnp.sum(per_edge * mask)) / jnp.maximum(
+            all_sum_final(jnp.sum(mask)), 1.0
+        )
 
 
 class ExpDepthRegularizedOSELoss:
@@ -185,7 +190,9 @@ class ExpDepthRegularizedOSELoss:
         ose = safe_norm(proj[:, :2] - depth[:, None] * graph.uv, axis=1)
         per_edge = ose + depth_reg
         mask = graph.edge_mask.astype(per_edge.dtype)
-        return all_sum(jnp.sum(per_edge * mask)) / jnp.maximum(all_sum(jnp.sum(mask)), 1.0)
+        return all_sum_final(jnp.sum(per_edge * mask)) / jnp.maximum(
+            all_sum_final(jnp.sum(mask)), 1.0
+        )
 
 
 class GTLoss:
@@ -269,18 +276,20 @@ class DirectDepthLoss:
         graph = scene.graph
         assert scene.gt_depths is not None, "SceneGraph.gt_depths required for DirectDepthLoss"
         mask = graph.edge_mask.astype(jnp.float32)
-        n = jnp.maximum(all_sum(jnp.sum(mask)), 1.0)
+        n = jnp.maximum(all_sum_final(jnp.sum(mask)), 1.0)
         d_pred = pred["depths"]
         d_gt = scene.gt_depths
+        # s_pred is INTERIOR: it is consumed back by every edge's divide, so
+        # its (partial) cotangent must be psummed by the transpose.
         s_pred = all_sum(jnp.sum(d_pred * mask)) / n
-        s_gt = all_sum(jnp.sum(d_gt * mask)) / n
+        s_gt = all_sum_final(jnp.sum(d_gt * mask)) / n
         d_pred = d_pred / s_pred
         d_gt = d_gt / jnp.where(s_gt == 0, 1.0, s_gt)
         if self.cost_fcn == "L1":
             per_edge = jnp.abs(d_pred - d_gt)
         else:
             per_edge = (d_pred - d_gt) ** 2
-        return all_sum(jnp.sum(per_edge * mask)) / n
+        return all_sum_final(jnp.sum(per_edge * mask)) / n
 
 
 _LOSS_REGISTRY = {

@@ -400,9 +400,15 @@ def make_fused_attend(H: int, mm: str = "f32"):
     devices (None single-shard). With an axis, the forward runs the local
     kernel unfinalized and combines (num, m, den) across shards
     (:func:`combine_attention_shards`); the backward kernel is unchanged —
-    fed the global (m, den, out) it emits this shard's exact local
-    cotangents (table/parameter cotangents are per-shard partials, summed
-    by the train step's trailing grad psum)."""
+    fed the global (m, den, out) and the PSUMMED output cotangent it emits
+    this shard's exact local cotangents (table/parameter cotangents are
+    per-shard partials, summed by the train step's trailing grad psum).
+
+    The backward-entry psum is the interior transpose rule of
+    gasfm_tpu/ops/segment.py: the attention output table is consumed by
+    every shard's downstream edges, so the cotangent arriving here is a
+    shard-local partial and the exact edge-side cotangent needs the full
+    ``psum_j(partial_j)``."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
     def attend(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
@@ -437,6 +443,8 @@ def make_fused_attend(H: int, mm: str = "f32"):
     def _bwd(num_segments, W, slope, interpret, edge_axis, res, g):
         xl2, xr_p, att_row, ids2d, wb, out_full, md = res
         s_pad = xr_p.shape[0]
+        if edge_axis is not None:
+            g = jax.lax.psum(g, edge_axis)  # partial -> full table cotangent
         g_p = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
         dxl, dxr_full, datt8 = _fused_attn_bwd_raw(
             xl2, xr_p, att_row, ids2d, wb, md, out_full, g_p, W, H, slope,

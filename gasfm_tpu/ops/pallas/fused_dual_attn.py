@@ -628,6 +628,13 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
         gp_out, gc_out = g
         (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
          outp, outc, mdp, mdc) = res
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py): the output tables
+            # are consumed by EVERY shard's downstream edges, so the
+            # per-shard partial cotangents must be psummed to the full
+            # table cotangent before computing edge-side cotangents.
+            gp_out = jax.lax.psum(gp_out, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
             gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))
@@ -1331,6 +1338,11 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         gen, gp_out, gc_out = g
         (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
          pids2d, cids2d, wb, outp, outc, mdp, mdc) = res
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py): psum the table
+            # cotangents (partial -> full); `gen` is per-edge (shard-local).
+            gp_out = jax.lax.psum(gp_out, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
             gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))

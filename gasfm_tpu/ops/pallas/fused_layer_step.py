@@ -802,6 +802,12 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
          xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
          outp, outc, mdp, mdc) = res
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py): psum the table
+            # cotangents (partial -> full); gel_p/gen_p are per-edge
+            # (shard-local) and stay as they are.
+            gp_out = jax.lax.psum(gp_out, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         De = w_e.shape[1]
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(

@@ -155,6 +155,59 @@ def edge_replicated():
 
 from functools import partial as _partial
 
+# ---------------------------------------------------------------------------
+# Gradient transposes of the edge-shard collectives
+#
+# Two reduction flavors with DIFFERENT exact transposes, distinguished by how
+# the reduction's *output cotangent* arrives during the per-shard backward
+# (this is exactly shard_map's varying/invariant bookkeeping, done manually
+# because the train steps run with check_vma=False):
+#
+# - ``all_sum`` (INTERIOR: view/point/global tables consumed downstream by
+#   per-edge gathers/broadcasts). The output cotangent on shard i is a
+#   shard-local PARTIAL (assembled from shard i's edges via the gather
+#   transposes). The exact transpose must deliver the FULL cotangent
+#   ``psum_j(partial_j)`` to the shard-local summand: an edge's features
+#   influence the table row once, and the row influences EVERY shard's
+#   downstream edges. Dropping the psum here (an identity transpose, the
+#   round-3 rule) keeps only the "diagonal" gradient paths — loss edges on
+#   shard i backing onto upstream edges of shard i — and silently loses all
+#   cross-shard coupling: measured 93/162 corrupted leaves (up to 58%
+#   relative) the moment a scene's valid edges span more than one shard
+#   (tests/test_parallel.py::TestCrossShardGradients).
+#
+# - ``all_sum_final`` (FINAL: the loss/metric scalars, consumed invariantly
+#   or returned). The output cotangent is the REPLICATED seed — identical on
+#   every shard, not a partial — so the exact transpose delivers it
+#   UNCHANGED. Re-psumming it (jax's native psum transpose, the round-1
+#   rule) scales every upstream gradient by the edge-shard count.
+#
+# With interior=psum-of-partials and final=identity, every parameter
+# gradient leaves the per-shard backward as a shard-local partial, and the
+# train steps' single trailing ``psum(grads, edge_axis)`` is exact for ANY
+# edge sharding — chunk-aligned or not. The Pallas attention kernels'
+# custom VJPs implement the same interior rule by psumming their incoming
+# table cotangents at backward entry (gp/gc in fused_attn/fused_dual_attn/
+# fused_layer_step).
+# ---------------------------------------------------------------------------
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_interior(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def _psum_interior_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _psum_interior_bwd(axis, _, g):
+    # Partial cotangents in -> full cotangent delivered to the local summand.
+    return (jax.lax.psum(g, axis),)
+
+
+_psum_interior.defvjp(_psum_interior_fwd, _psum_interior_bwd)
+
 
 @_partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _psum_replicated(x, axis):
@@ -166,14 +219,7 @@ def _psum_replicated_fwd(x, axis):
 
 
 def _psum_replicated_bwd(axis, _, g):
-    # Exact transpose of "per-shard partials -> replicated sum": deliver the
-    # (replicated) output cotangent to every shard UNCHANGED. The sharded
-    # train steps rely on it: every parameter gradient then comes out as a
-    # shard-local PARTIAL, and their single trailing psum yields the exact
-    # global gradient. jax's own transpose of psum under
-    # shard_map(check_vma=False) instead re-psums the cotangent — measured
-    # to scale gradients by the edge-shard count and corrupt mixed paths
-    # (tests/test_parallel.py::TestPackedMergedUnderSharding).
+    # Replicated (seed) cotangent in -> delivered unchanged.
     return (g,)
 
 
@@ -181,7 +227,16 @@ _psum_replicated.defvjp(_psum_replicated_fwd, _psum_replicated_bwd)
 
 
 def all_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Sum across the edge shards (identity outside edge-partitioned scope)."""
+    """Interior cross-shard sum (identity outside edge-partitioned scope):
+    for reductions whose output feeds back into per-edge computation. See
+    the transpose discussion above."""
+    axis = _EDGE_AXIS.get()
+    return x if axis is None else _psum_interior(x, axis)
+
+
+def all_sum_final(x: jnp.ndarray) -> jnp.ndarray:
+    """Final cross-shard sum: for loss/metric scalars whose cotangent is the
+    replicated seed (or that are not differentiated at all). See above."""
     axis = _EDGE_AXIS.get()
     return x if axis is None else _psum_replicated(x, axis)
 

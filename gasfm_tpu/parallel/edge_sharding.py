@@ -12,10 +12,13 @@ TPU-native scaling design demanded by the BASELINE north star:
   :mod:`gasfm_tpu.ops.segment.edge_partitioned`), which is exactly the
   numerically-stable distributed segment-softmax decomposition
   (max-exchange before exp).
-- Gradients: each shard's backward pass produces its partial contribution
-  (the loss collectives transpose to broadcasts); a final ``psum`` over both
-  axes yields the exact global gradient; the optimizer update then runs
-  replicated.
+- Gradients: the interior/final transpose rules of
+  :mod:`gasfm_tpu.ops.segment` (interior table reductions psum their
+  cotangents — capturing cross-shard gradient coupling — while the final
+  loss reduction delivers the replicated seed unchanged) make each shard's
+  backward pass an exact shard-local partial; a final ``psum`` over both
+  axes yields the exact global gradient for ANY edge sharding; the
+  optimizer update then runs replicated.
 
 The sharded train step is numerically identical to the single-device step —
 asserted by tests/test_parallel.py on a virtual 8-device CPU mesh.
@@ -43,6 +46,32 @@ EDGE_AXIS = "edge"
 # ViewGraph fields whose leading dimension is the edge capacity.
 _EDGE_FIELDS = {"uv", "cam_idx", "pt_idx", "edge_mask", "pt_order", "pt_window"}
 _SCALAR_FIELDS = {"m_true", "n_true", "e_true"}
+
+
+def check_edge_shard_contract(num_edges: int, mesh: Mesh) -> None:
+    """Enforce the bucketizer's shard-alignment contract at runtime.
+
+    Every edge shard must be a whole number of CHUNKs: the edge cap must be
+    divisible by n_edge_shards * CHUNK. Gradients are exact either way (the
+    interior psum transpose in gasfm_tpu/ops/segment.py holds for any
+    sharding — tests/test_parallel.py::TestSubChunkShardGradients), but
+    off-contract shards silently lose the Pallas kernel fast path inside
+    shard_map (per-shard arrays stop being chunk-aligned, so every segment
+    op falls back to XLA row scatters at ~3% of HBM bandwidth) — a perf
+    cliff that should fail loudly instead (round-3 ADVICE item 1).
+    """
+    from gasfm_tpu.graph.view_graph import CHUNK
+
+    n_edge = mesh.shape[EDGE_AXIS]
+    if n_edge <= 1:
+        return
+    if num_edges % (n_edge * CHUNK) != 0:
+        raise ValueError(
+            f"edge capacity {num_edges} is not divisible by n_edge_shards * "
+            f"CHUNK = {n_edge} * {CHUNK}: each edge shard must be a whole "
+            f"number of CHUNKs (pin caps via GraphBucketizer / "
+            f"blocked_edge_count, edge_multiple={n_edge * CHUNK})"
+        )
 
 
 def make_mesh(n_edge: int, n_data: int = 1, devices=None) -> Mesh:
@@ -214,7 +243,13 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
         out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+
+    def step(params, opt_state, batched_scene, weights):
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
+        return jitted(params, opt_state, batched_scene, weights)
+
+    return step
 
 
 def make_sharded_grad_step(conf, model, mesh: Mesh):
@@ -273,7 +308,13 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
         out_specs=(P(), P(), P(), pred_specs),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(params, batched_scene, weights):
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
+        return jitted(params, batched_scene, weights)
+
+    return step
 
 
 def make_sharded_train_step(conf, model, mesh: Mesh):
@@ -311,7 +352,13 @@ def make_sharded_train_step(conf, model, mesh: Mesh):
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+
+    def step(params, opt_state, batched_scene):
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
+        return jitted(params, opt_state, batched_scene)
+
+    return step
 
 
 def make_sharded_forward(conf, model, mesh: Mesh, grouped: bool = False):
@@ -352,4 +399,10 @@ def make_sharded_forward(conf, model, mesh: Mesh, grouped: bool = False):
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def forward(params, batched_scene):
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
+        return jitted(params, batched_scene)
+
+    return forward
