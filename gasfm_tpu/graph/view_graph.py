@@ -170,7 +170,14 @@ class ViewGraph:
             return None
         wb = self.pt_window.reshape(E // CHUNK, CHUNK)[:, 0]
         row_ok = jnp.repeat(self.pt_block_visited, WINDOW)[: self.num_pts]
-        return SegmentWindows(block=wb, row_ok=row_ok)
+        # Live-chunk count for the kernels' dead-chunk skip: chunks with at
+        # least one valid edge form a prefix of the chunk sequence (block
+        # runs pad to < CHUNK; the rest of the capacity is a pure-padding
+        # suffix). One cheap traced reduction, CSE'd across the layers.
+        nlive = jnp.sum(
+            jnp.any(self.edge_mask.reshape(E // CHUNK, CHUNK), axis=1).astype(jnp.int32)
+        )
+        return SegmentWindows(block=wb, row_ok=row_ok, nlive=nlive)
 
 
 @jax.tree_util.register_dataclass

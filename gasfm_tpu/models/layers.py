@@ -677,13 +677,14 @@ class ProjectionFeatureUpdate(nn.Module):
                     en=x_edges, skip2=skip2_p, res=res_p,
                     w_e=w_e, b=bias, w_uv=w_uv, ps=ps, pv=pv, pg=pg,
                 )
+            window = graph.pt_segment_windows()
             return packed_edge_update(
                 x_edges, skip2_p, res_p, w_e, bias, w_uv, ps, pv, pg,
                 graph.pt_idx.astype(jnp.int32).reshape(-1, CHUNK),
                 graph.cam_idx.astype(jnp.int32).reshape(-1, CHUNK),
-                graph.pt_segment_windows().block,
+                window.block,
                 graph.num_pts, graph.num_cams, WINDOW,
-                interpret=_kernel_interpret(),
+                interpret=_kernel_interpret(), nlive=window.nlive,
             )
 
         pe = TorchDense(self.n_feat_proj_out, name="lin_proj")(x_edges)

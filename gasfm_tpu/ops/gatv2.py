@@ -220,6 +220,7 @@ def gatv2_attend_dual(
             pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(),
+            nlive=window.nlive if edge_mask is not None else None,
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
@@ -315,6 +316,7 @@ def gatv2_layer_frontend(
             pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(), packed=packed,
+            nlive=window.nlive if edge_mask is not None else None,
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
@@ -378,6 +380,7 @@ def merged_layer_frontend(
         pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
         num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
         edge_axis=current_edge_axis(),
+        nlive=window.nlive if edge_mask is not None else None,
     )
     if window.row_ok is not None:
         out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)

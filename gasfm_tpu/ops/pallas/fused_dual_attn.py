@@ -56,6 +56,18 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _wb_with_nlive(wb, nlive):
+    """Append the live-chunk count to the scalar-prefetch wb array (kernels
+    read it as wb_ref[num_programs]; index maps never reach it). In the
+    blocked layout all-padding chunks form a strict suffix, so kernels skip
+    the compute of chunks c >= nlive entirely (identical outputs: dead
+    edges' ids are out of every window / on the camera trash row, so their
+    contribution is exactly zero). nlive=None marks every chunk live."""
+    if nlive is None:
+        nlive = jnp.asarray(wb.shape[0], dtype=jnp.int32)
+    return jnp.concatenate([wb, nlive.astype(jnp.int32).reshape(1)])
+
+
 def _id_row(ref, c):
     """Row c % 8 of the (8, CHUNK) lane-packed id block as (1, CHUNK).
 
@@ -116,124 +128,128 @@ def _dual_fwd_kernel(
         # columns persist across the whole sweep.
         mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
 
-    # Ids arrive as ONE lane-packed (1, CHUNK) row per chunk — the (E, 1)
-    # column form is physically padded to 128 lanes by the T(8,128) HBM
-    # tiling and its DMA alone cost ~0.3 us/chunk per id stream (BENCHLOG
-    # section 8). The one-hot is built TRANSPOSED, (W, CHUNK): every
-    # contraction works from ohT directly, and the per-edge in-window
-    # column is recovered with one narrow MXU pass.
-    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK)
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    match_p = local_row == seg_iota
-    ohT_p = match_p.astype(jnp.float32)  # (W, CHUNK)
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
-    match_c = _id_row(cids_ref, c) == cam_iota
-    ohT_c = match_c.astype(jnp.float32)  # (Wc, CHUNK)
-    # Big one-hot matmuls optionally run with bf16 operands (one-hot exact,
-    # features rounded) and f32 accumulation — f32 matmuls run at a fraction
-    # of the MXU's native bf16 rate on v5e. Small matmuls stay f32.
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    live = c < wb_ref[nc]  # dead-chunk skip (see _wb_with_nlive)
 
-    xlp = xlp_ref[:]  # (CHUNK, Dp)
-    xlc = xlc_ref[:]  # (CHUNK, Dc)
-    z_p = xlp + jax.lax.dot_general(
-        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_c = xlc + jax.lax.dot_general(
-        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
-    # Shared head-space logits: point heads in columns 0..Hp-1, camera heads
-    # in Hp..Hp+Hc-1 (each selector writes its own columns; sum merges).
-    logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, HP)
+    @pl.when(live)
+    def _compute():
+        # Ids arrive as ONE lane-packed (1, CHUNK) row per chunk — the (E, 1)
+        # column form is physically padded to 128 lanes by the T(8,128) HBM
+        # tiling and its DMA alone cost ~0.3 us/chunk per id stream (BENCHLOG
+        # section 8). The one-hot is built TRANSPOSED, (W, CHUNK): every
+        # contraction works from ohT directly, and the per-edge in-window
+        # column is recovered with one narrow MXU pass.
+        local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK)
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        match_p = local_row == seg_iota
+        ohT_p = match_p.astype(jnp.float32)  # (W, CHUNK)
+        cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        match_c = _id_row(cids_ref, c) == cam_iota
+        ohT_c = match_c.astype(jnp.float32)  # (Wc, CHUNK)
+        # Big one-hot matmuls optionally run with bf16 operands (one-hot exact,
+        # features rounded) and f32 accumulation — f32 matmuls run at a fraction
+        # of the MXU's native bf16 rate on v5e. Small matmuls stay f32.
+        ohT_p_mm = match_p.astype(mm_dtype)
+        ohT_c_mm = match_c.astype(mm_dtype)
 
-    # Chunk-max shift shared by both directions; padding edges (exactly the
-    # out-of-window point ids in this layout) are masked out of the max.
-    # inwin as a (CHUNK, 1) column via one narrow MXU pass over ohT.
-    inwin = jax.lax.dot_general(
-        ohT_p, jnp.ones((W, 1), jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) > 0.5  # (CHUNK, 1)
-    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
+        xlp = xlp_ref[:]  # (CHUNK, Dp)
+        xlc = xlc_ref[:]  # (CHUNK, Dc)
+        z_p = xlp + jax.lax.dot_general(
+            ohT_p_mm, xrp_ref[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z_c = xlc + jax.lax.dot_general(
+            ohT_c_mm, xrc_ref[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+        gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+        # Shared head-space logits: point heads in columns 0..Hp-1, camera heads
+        # in Hp..Hp+Hc-1 (each selector writes its own columns; sum merges).
+        logits = jax.lax.dot_general(
+            gz_p * attp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            gz_c * attc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, HP)
 
-    # WINDOW-constant shift: softmax is shift-invariant per segment, and a
-    # per-(head, window) scalar shift (running window max; camera columns run
-    # globally) is segment-constant for every segment it covers — exact, and
-    # an order of magnitude cheaper than per-segment online-max corrections:
-    # when the running max rises, the accumulators rescale by per-HEAD
-    # scalars (two narrow ssel expansions + broadcasts) instead of
-    # (HP, W)-shaped exp/matmul corrections, and new contributions need no
-    # correction at all (p is computed at the post-update running shift, so
-    # p <= 1 for valid edges; the min clamp only binds for padding edges).
-    m_old = mrun_scr[0:1, :]  # (1, HP)
-    m_new = jnp.maximum(m_old, m_vec)
-    scale_row = jnp.exp(m_old - m_new)  # (1, HP), == 1 when max unchanged
-    mrun_scr[0:1, :] = m_new
-    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))  # (CHUNK, HP)
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
-    ).astype(jnp.float32)
-    scale_col = jax.lax.dot_general(
-        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HP, 1)
-    m_col = jax.lax.dot_general(
-        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HP, 1)
+        # Chunk-max shift shared by both directions; padding edges (exactly the
+        # out-of-window point ids in this layout) are masked out of the max.
+        # inwin as a (CHUNK, 1) column via one narrow MXU pass over ohT.
+        inwin = jax.lax.dot_general(
+            ohT_p, jnp.ones((W, 1), jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) > 0.5  # (CHUNK, 1)
+        m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)  # (1, HP)
 
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dp)
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dc)
+        # WINDOW-constant shift: softmax is shift-invariant per segment, and a
+        # per-(head, window) scalar shift (running window max; camera columns run
+        # globally) is segment-constant for every segment it covers — exact, and
+        # an order of magnitude cheaper than per-segment online-max corrections:
+        # when the running max rises, the accumulators rescale by per-HEAD
+        # scalars (two narrow ssel expansions + broadcasts) instead of
+        # (HP, W)-shaped exp/matmul corrections, and new contributions need no
+        # correction at all (p is computed at the post-update running shift, so
+        # p <= 1 for valid edges; the min clamp only binds for padding edges).
+        m_old = mrun_scr[0:1, :]  # (1, HP)
+        m_new = jnp.maximum(m_old, m_vec)
+        scale_row = jnp.exp(m_old - m_new)  # (1, HP), == 1 when max unchanged
+        mrun_scr[0:1, :] = m_new
+        p = jnp.exp(jnp.minimum(logits - m_new, 0.0))  # (CHUNK, HP)
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+        ).astype(jnp.float32)
+        scale_col = jax.lax.dot_general(
+            eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, 1)
+        m_col = jax.lax.dot_general(
+            eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, 1)
 
-    scale_p_d = jax.lax.dot_general(
-        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, Dp)
-    scale_c_d = jax.lax.dot_general(
-        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, Dc)
-    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
-        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
-        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        p_dp = jax.lax.dot_general(
+            p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dp)
+        p_dc = jax.lax.dot_general(
+            p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dc)
 
-    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        scale_p_d = jax.lax.dot_general(
+            scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Dp)
+        scale_c_d = jax.lax.dot_general(
+            scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Dc)
+        outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
+            ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
+            ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+        mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+            p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+        mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+            p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     if finalize:
         @pl.when(last_w)
@@ -259,7 +275,7 @@ def _dual_fwd_kernel(
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret",
                                              "finalize", "mm"))
-def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
+def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
                   W, Wc, Hp, Hc, slope, interpret=False, finalize=True, mm="f32"):
     E, Dp = xlp.shape
     Dc = xlc.shape[1]
@@ -313,7 +329,8 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
         ],
         interpret=interpret,
-    )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm)
+    )(_wb_with_nlive(wb, nlive), pids2d, cids2d, xlp, xlc, xrp, xrc, attp,
+      attc, sselp, sselc, hm)
     return outp, outc, mdp, mdc
 
 
@@ -385,97 +402,106 @@ def _dual_bwd_kernel(
         packp_scr[:, Dp : 2 * Dp] = g * inv_wd
         packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
 
-    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    match_p = local_row == seg_iota
-    ohT_p = match_p.astype(jnp.float32)
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
-    match_c = _id_row(cids_ref, c) == cam_iota
-    ohT_c = match_c.astype(jnp.float32)
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    live = c < wb_ref[pl.num_programs(0)]  # dead-chunk skip
 
-    xlp = xlp_ref[:]
-    xlc = xlc_ref[:]
-    gep = jax.lax.dot_general(
-        ohT_p_mm, packp_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gec = jax.lax.dot_general(
-        ohT_c_mm, packc_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_p = xlp + gep[:, 0:Dp]
-    z_c = xlc + gec[:, 0:Dc]
-    dnum_e_p = gep[:, Dp : 2 * Dp]
-    dnum_e_c = gec[:, Dc : 2 * Dc]
-    hm = hm_ref[:]
-    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
-              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    # Window-constant shift rows (f32 always — exp amplifies max rounding).
-    m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
-           + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dxlp_ref[:] = jnp.zeros_like(dxlp_ref)
+        dxlc_ref[:] = jnp.zeros_like(dxlc_ref)
 
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
-    logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+    @pl.when(live)
+    def _compute():
+        local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        match_p = local_row == seg_iota
+        ohT_p = match_p.astype(jnp.float32)
+        cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        match_c = _id_row(cids_ref, c) == cam_iota
+        ohT_c = match_c.astype(jnp.float32)
+        ohT_p_mm = match_p.astype(mm_dtype)
+        ohT_c_mm = match_c.astype(mm_dtype)
 
-    dl = p * (
-        jax.lax.dot_general(
-            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        xlp = xlp_ref[:]
+        xlc = xlc_ref[:]
+        gep = jax.lax.dot_general(
+            ohT_p_mm, packp_scr[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gec = jax.lax.dot_general(
+            ohT_c_mm, packc_scr[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z_p = xlp + gep[:, 0:Dp]
+        z_c = xlc + gec[:, 0:Dc]
+        dnum_e_p = gep[:, Dp : 2 * Dp]
+        dnum_e_c = gec[:, Dc : 2 * Dc]
+        hm = hm_ref[:]
+        dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
+                  + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
+        # Window-constant shift rows (f32 always — exp amplifies max rounding).
+        m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
+               + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
+
+        gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+        gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+        logits = jax.lax.dot_general(
+            gz_p * attp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            gz_c * attc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + jax.lax.dot_general(
-            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+        dl = p * (
+            jax.lax.dot_general(
+                xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + dden_e
+        )  # (CHUNK, HP)
+        dl_dp = jax.lax.dot_general(
+            dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dp)
+        dl_dc = jax.lax.dot_general(
+            dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dc)
+        dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
+        dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
+        p_dp = jax.lax.dot_general(
+            p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + dden_e
-    )  # (CHUNK, HP)
-    dl_dp = jax.lax.dot_general(
-        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dp)
-    dl_dc = jax.lax.dot_general(
-        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dc)
-    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
-    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        p_dc = jax.lax.dot_general(
+            p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    dxlp_ref[:] = p_dp * dnum_e_p + dz_p
-    dxlc_ref[:] = p_dc * dnum_e_c + dz_c
-    dxrp_ref[:] += jax.lax.dot_general(
-        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dxrc_ref[:] += jax.lax.dot_general(
-        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
-    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+        dxlp_ref[:] = p_dp * dnum_e_p + dz_p
+        dxlc_ref[:] = p_dc * dnum_e_c + dz_c
+        dxrp_ref[:] += jax.lax.dot_general(
+            ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxrc_ref[:] += jax.lax.dot_general(
+            ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
+        dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "interpret",
                                              "mm"))
-def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
+def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
                   mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
                   interpret=False, mm="f32"):
     E, Dp = xlp.shape
@@ -554,8 +580,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb,
             jax.ShapeDtypeStruct((8, Dc), jnp.float32),
         ],
         interpret=interpret,
-    )(wb, pids2d, cids2d, xlp, xlc, xrp, xrc, attp, attc, sselp, sselc, hm,
-      mdtp, mdtc, mwinp, mcam, outp, outc, gp, gc)
+    )(_wb_with_nlive(wb, nlive), pids2d, cids2d, xlp, xlc, xrp, xrc, attp,
+      attc, sselp, sselc, hm, mdtp, mdtc, mwinp, mcam, outp, outc, gp, gc)
     return dxlp, dxlc, dxrp, dxrc, dattp8, dattc8
 
 
@@ -574,16 +600,16 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
     change — fed global (m, den, out), each shard emits its exact local
     cotangent contribution."""
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
-    def attend(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+    def attend(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb, nlive,
                n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         (op, oc), _ = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
-                               cids2d, wb, n_pts, n_cams, W, Wc, slope,
+                               cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
                                interpret, edge_axis)
         return op, oc
 
     def _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-                 n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
+                 nlive, n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         s_pad = _round_up(n_pts, W)
         xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
             xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
@@ -593,7 +619,7 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
         )
         outp, outc, mdp, mdc = _dual_fwd_raw(
             xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
-            W, Wc, Hp, Hc, slope, interpret=interpret,
+            nlive, W, Wc, Hp, Hc, slope, interpret=interpret,
             finalize=edge_axis is None, mm=mm,
         )
         if edge_axis is not None:
@@ -614,20 +640,20 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
             mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
             mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
         res = (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d,
-               wb, outp, outc, mdp, mdc)
+               wb, nlive, outp, outc, mdp, mdc)
         return (outp[:n_pts], outc[:n_cams]), res
 
-    def _fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
+    def _fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb, nlive,
              n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         out, res = _run_fwd(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d,
-                            cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-                            edge_axis)
+                            cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+                            interpret, edge_axis)
         return out, res
 
     def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
         gp_out, gc_out = g
         (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
-         outp, outc, mdp, mdc) = res
+         nlive, outp, outc, mdp, mdc) = res
         if edge_axis is not None:
             # Interior transpose rule (ops/segment.py): the output tables
             # are consumed by EVERY shard's downstream edges, so the
@@ -644,7 +670,7 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
         )
         dxlp, dxlc, dxrp_full, dxrc_full, dattp8, dattc8 = _dual_bwd_raw(
             xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
-            mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
+            nlive, mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
             interpret=interpret, mm=mm,
         )
         # Unvisited point window blocks are never written (uninitialized).
@@ -654,7 +680,7 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
             dxlp, dxlc,
             dxrp_full[:n_pts], dxrc_full[:n_cams],
             dattp8[0:1], dattc8[0:1],
-            None, None, None,
+            None, None, None, None,
         )
 
     attend.defvjp(_fwd, _bwd)
@@ -666,7 +692,7 @@ _DUAL_CACHE = {}
 
 def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
                       pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                      slope=0.2, interpret=False, edge_axis=None):
+                      slope=0.2, interpret=False, edge_axis=None, nlive=None):
     """Dual fused segment attention specialized per head counts.
 
     xl_p: (E, Dp) point-side source-transformed edge features (head-major).
@@ -689,8 +715,10 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
     if fn is None:
         fn = make_fused_dual_attend(*key)
         _DUAL_CACHE[key] = fn
+    if nlive is None:
+        nlive = jnp.asarray(wb.shape[0], dtype=jnp.int32)
     return fn(xl_p, xl_c, xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
-              n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
+              nlive, n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -740,117 +768,125 @@ def _front_fwd_kernel(
         # columns persist (see _dual_fwd_kernel).
         mrun_scr[0:1, :] = jnp.where(hm_ref[0:1, :] > 0, _NEG, mrun_scr[0:1, :])
 
-    # ---- prologue: LN (flax semantics) + ReLU + the two source transforms.
-    # Packed mode: the raw edge stream arrives as a lane-packed
-    # (CHUNK/4, 4*De) tile (4 edges per row — see ops/pallas/packing.py) and
-    # the normalized stream is written back packed; the unpack/repack costs
-    # ~0.12 us/chunk vs the 4x DMA the padded (CHUNK, De) form pays.
-    e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
-    mean = jnp.mean(e, axis=1, keepdims=True)
-    var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
-    xhat = (e - mean) * jax.lax.rsqrt(var + eps)
-    xn = xhat * lng_ref[:] + lnb_ref[:]
-    en = jnp.maximum(xn, 0.0)
-    en_ref[:] = repack_tile(en) if packed else en
-    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
-    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+    live = c < wb_ref[nc]  # dead-chunk skip
 
-    # ---- dual attention (identical to _dual_fwd_kernel from here;
-    # lane-packed (1, CHUNK) id rows, transposed one-hots).
-    local_row = _id_row(pids_ref, c) - wb * W
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    match_p = local_row == seg_iota
-    ohT_p = match_p.astype(jnp.float32)
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
-    match_c = _id_row(cids_ref, c) == cam_iota
-    ohT_c = match_c.astype(jnp.float32)
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        en_ref[:] = jnp.zeros_like(en_ref)
 
-    z_p = xlp + jax.lax.dot_general(
-        ohT_p_mm, xrp_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_c = xlc + jax.lax.dot_general(
-        ohT_c_mm, xrc_ref[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
-    logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    @pl.when(live)
+    def _compute():
+        # ---- prologue: LN (flax semantics) + ReLU + the two source transforms.
+        # Packed mode: the raw edge stream arrives as a lane-packed
+        # (CHUNK/4, 4*De) tile (4 edges per row — see ops/pallas/packing.py) and
+        # the normalized stream is written back packed; the unpack/repack costs
+        # ~0.12 us/chunk vs the 4x DMA the padded (CHUNK, De) form pays.
+        e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
+        mean = jnp.mean(e, axis=1, keepdims=True)
+        var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+        xhat = (e - mean) * jax.lax.rsqrt(var + eps)
+        xn = xhat * lng_ref[:] + lnb_ref[:]
+        en = jnp.maximum(xn, 0.0)
+        en_ref[:] = repack_tile(en) if packed else en
+        xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+        xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
-    inwin = jax.lax.dot_general(
-        ohT_p, jnp.ones((W, 1), jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) > 0.5  # (CHUNK, 1)
-    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
+        # ---- dual attention (identical to _dual_fwd_kernel from here;
+        # lane-packed (1, CHUNK) id rows, transposed one-hots).
+        local_row = _id_row(pids_ref, c) - wb * W
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        match_p = local_row == seg_iota
+        ohT_p = match_p.astype(jnp.float32)
+        cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        match_c = _id_row(cids_ref, c) == cam_iota
+        ohT_c = match_c.astype(jnp.float32)
+        ohT_p_mm = match_p.astype(mm_dtype)
+        ohT_c_mm = match_c.astype(mm_dtype)
 
-    # Window-constant shift (see _dual_fwd_kernel for the derivation).
-    m_old = mrun_scr[0:1, :]
-    m_new = jnp.maximum(m_old, m_vec)
-    scale_row = jnp.exp(m_old - m_new)
-    mrun_scr[0:1, :] = m_new
-    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
-    ).astype(jnp.float32)
-    scale_col = jax.lax.dot_general(
-        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_col = jax.lax.dot_general(
-        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        z_p = xlp + jax.lax.dot_general(
+            ohT_p_mm, xrp_ref[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z_c = xlc + jax.lax.dot_general(
+            ohT_c_mm, xrc_ref[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+        gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+        logits = jax.lax.dot_general(
+            gz_p * attp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            gz_c * attc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        inwin = jax.lax.dot_general(
+            ohT_p, jnp.ones((W, 1), jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) > 0.5  # (CHUNK, 1)
+        m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
 
-    scale_p_d = jax.lax.dot_general(
-        scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scale_c_d = jax.lax.dot_general(
-        scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
-        ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
-        ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        # Window-constant shift (see _dual_fwd_kernel for the derivation).
+        m_old = mrun_scr[0:1, :]
+        m_new = jnp.maximum(m_old, m_vec)
+        scale_row = jnp.exp(m_old - m_new)
+        mrun_scr[0:1, :] = m_new
+        p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+        ).astype(jnp.float32)
+        scale_col = jax.lax.dot_general(
+            eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_col = jax.lax.dot_general(
+            eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
-    mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
-    mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
-        p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        p_dp = jax.lax.dot_general(
+            p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_dc = jax.lax.dot_general(
+            p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        scale_p_d = jax.lax.dot_general(
+            scale_row, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scale_c_d = jax.lax.dot_general(
+            scale_row, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outp_ref[:] = outp_ref[:] * scale_p_d + jax.lax.dot_general(
+            ohT_p_mm, (p_dp * xlp).astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outc_ref[:] = outc_ref[:] * scale_c_d + jax.lax.dot_general(
+            ohT_c_mm, (p_dc * xlc).astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+        mdp_ref[HP : 2 * HP, :] = mdp_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+            p, ohT_p, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+        mdc_ref[HP : 2 * HP, :] = mdc_ref[HP : 2 * HP, :] * scale_col + jax.lax.dot_general(
+            p, ohT_c, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     if finalize:
         @pl.when(last_w)
@@ -877,8 +913,8 @@ def _front_fwd_kernel(
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
                                              "finalize", "mm", "packed"))
 def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                   pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=False,
-                   finalize=True, mm="f32", packed=False):
+                   pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
+                   interpret=False, finalize=True, mm="f32", packed=False):
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -954,8 +990,8 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
         ],
         interpret=interpret,
-    )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
-      attp, attc, sselp, sselc, hm)
+    )(_wb_with_nlive(wb, nlive), pids2d, cids2d, e, lng, lnb, wlp, blp, wlc,
+      blc, xrp, xrc, attp, attc, sselp, sselc, hm)
     return en, outp, outc, mdp, mdc
 
 
@@ -1024,143 +1060,152 @@ def _front_bwd_kernel(
         packp_scr[:, Dp : 2 * Dp] = g * inv_wd
         packp_scr[:, 2 * Dp : 2 * Dp + HP] = -go * inv
 
-    # ---- recompute the prologue.
-    e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
-    De = e.shape[1]
-    mean = jnp.mean(e, axis=1, keepdims=True)
-    var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (e - mean) * rstd
-    xn = xhat * lng_ref[:] + lnb_ref[:]
-    en = jnp.maximum(xn, 0.0)
-    xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
-    xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
+    live = c < wb_ref[pl.num_programs(0)]  # dead-chunk skip
 
-    # ---- recompute attention internals and per-edge cotangents (identical
-    # math to _dual_bwd_kernel).
-    local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    match_p = local_row == seg_iota
-    ohT_p = match_p.astype(jnp.float32)
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
-    match_c = _id_row(cids_ref, c) == cam_iota
-    ohT_c = match_c.astype(jnp.float32)
-    ohT_p_mm = match_p.astype(mm_dtype)
-    ohT_c_mm = match_c.astype(mm_dtype)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        de_ref[:] = jnp.zeros_like(de_ref)
 
-    gep = jax.lax.dot_general(
-        ohT_p_mm, packp_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gec = jax.lax.dot_general(
-        ohT_c_mm, packc_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    z_p = xlp + gep[:, 0:Dp]
-    z_c = xlc + gec[:, 0:Dc]
-    dnum_e_p = gep[:, Dp : 2 * Dp]
-    dnum_e_c = gec[:, Dc : 2 * Dc]
-    hm = hm_ref[:]
-    dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
-              + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
-    # Window-constant shift rows (f32 always — exp amplifies max rounding).
-    m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
-           + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
-    gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
-    gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
-    logits = jax.lax.dot_general(
-        gz_p * attp_ref[:], sselp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gz_c * attc_ref[:], sselc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+    @pl.when(live)
+    def _compute():
+        # ---- recompute the prologue.
+        e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
+        De = e.shape[1]
+        mean = jnp.mean(e, axis=1, keepdims=True)
+        var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (e - mean) * rstd
+        xn = xhat * lng_ref[:] + lnb_ref[:]
+        en = jnp.maximum(xn, 0.0)
+        xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
+        xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
-    dl = p * (
-        jax.lax.dot_general(
-            xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        # ---- recompute attention internals and per-edge cotangents (identical
+        # math to _dual_bwd_kernel).
+        local_row = _id_row(pids_ref, c) - wb * W  # (1, CHUNK) lane-packed id row
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        match_p = local_row == seg_iota
+        ohT_p = match_p.astype(jnp.float32)
+        cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        match_c = _id_row(cids_ref, c) == cam_iota
+        ohT_c = match_c.astype(jnp.float32)
+        ohT_p_mm = match_p.astype(mm_dtype)
+        ohT_c_mm = match_c.astype(mm_dtype)
+
+        gep = jax.lax.dot_general(
+            ohT_p_mm, packp_scr[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gec = jax.lax.dot_general(
+            ohT_c_mm, packc_scr[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z_p = xlp + gep[:, 0:Dp]
+        z_c = xlc + gec[:, 0:Dc]
+        dnum_e_p = gep[:, Dp : 2 * Dp]
+        dnum_e_c = gec[:, Dc : 2 * Dc]
+        hm = hm_ref[:]
+        dden_e = (gep[:, 2 * Dp : 2 * Dp + HP] * hm[0:1, :]
+                  + gec[:, 2 * Dc : 2 * Dc + HP] * hm[1:2, :])
+        # Window-constant shift rows (f32 always — exp amplifies max rounding).
+        m_e = (mwinp_ref[pl.ds(wb % 8, 1), :] * hm[0:1, :]
+               + mcam_ref[0:1, :] * hm[1:2, :])  # (1, HP), broadcasts over CHUNK
+        gz_p = jnp.where(z_p >= 0, z_p, slope * z_p)
+        gz_c = jnp.where(z_c >= 0, z_c, slope * z_c)
+        logits = jax.lax.dot_general(
+            gz_p * attp_ref[:], sselp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            gz_c * attc_ref[:], sselc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + jax.lax.dot_general(
-            xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        p = jnp.exp(jnp.minimum(logits - m_e, 0.0))
+
+        dl = p * (
+            jax.lax.dot_general(
+                xlp * dnum_e_p, sselp_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                xlc * dnum_e_c, sselc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + dden_e
+        )
+        dl_dp = jax.lax.dot_general(
+            dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + dden_e
-    )
-    dl_dp = jax.lax.dot_general(
-        dl, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dl_dc = jax.lax.dot_general(
-        dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
-    dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
-    p_dp = jax.lax.dot_general(
-        p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    p_dc = jax.lax.dot_general(
-        p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    dxlp = p_dp * dnum_e_p + dz_p  # (CHUNK, Dp)
-    dxlc = p_dc * dnum_e_c + dz_c
-    dxrp_ref[:] += jax.lax.dot_general(
-        ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dxrc_ref[:] += jax.lax.dot_general(
-        ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
-    dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
-
-    # ---- prologue backward.
-    gen = unpack_tile(gen_ref[:]) if packed else gen_ref[:]
-    d_en = (
-        jax.lax.dot_general(
-            dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        dl_dc = jax.lax.dot_general(
+            dl, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + jax.lax.dot_general(
-            dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        dz_p = dl_dp * attp_ref[:] * jnp.where(z_p >= 0, 1.0, slope)
+        dz_c = dl_dc * attc_ref[:] * jnp.where(z_c >= 0, 1.0, slope)
+        p_dp = jax.lax.dot_general(
+            p, sselp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + gen
-    )  # (CHUNK, De)
-    dwlp_ref[:] += jax.lax.dot_general(
-        en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dblp_ref[0:1, :] += jnp.sum(dxlp, axis=0, keepdims=True)
-    dwlc_ref[:] += jax.lax.dot_general(
-        en, dxlc, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
+        p_dc = jax.lax.dot_general(
+            p, sselc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    d_xn = jnp.where(xn > 0, d_en, 0.0)
-    dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
-    dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
-    d_xhat = d_xn * lng_ref[:]
-    mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
-    mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
-    de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
-    de_ref[:] = repack_tile(de) if packed else de
+        dxlp = p_dp * dnum_e_p + dz_p  # (CHUNK, Dp)
+        dxlc = p_dc * dnum_e_c + dz_c
+        dxrp_ref[:] += jax.lax.dot_general(
+            ohT_p_mm, dz_p.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxrc_ref[:] += jax.lax.dot_general(
+            ohT_c_mm, dz_c.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dattp_ref[0:1, :] += jnp.sum(dl_dp * gz_p, axis=0, keepdims=True)
+        dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
+
+        # ---- prologue backward.
+        gen = unpack_tile(gen_ref[:]) if packed else gen_ref[:]
+        d_en = (
+            jax.lax.dot_general(
+                dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                dxlc, wlc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + gen
+        )  # (CHUNK, De)
+        dwlp_ref[:] += jax.lax.dot_general(
+            en, dxlp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dblp_ref[0:1, :] += jnp.sum(dxlp, axis=0, keepdims=True)
+        dwlc_ref[:] += jax.lax.dot_general(
+            en, dxlc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
+
+        d_xn = jnp.where(xn > 0, d_en, 0.0)
+        dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
+        dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
+        d_xhat = d_xn * lng_ref[:]
+        mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
+        mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+        de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+        de_ref[:] = repack_tile(de) if packed else de
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
                                              "mm", "packed"))
 def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                   pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
-                   W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32", packed=False):
+                   pids2d, cids2d, wb, nlive, mdp, mdc, outp, outc, gp, gc,
+                   gen, W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32",
+                   packed=False):
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -1266,8 +1311,9 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
             jax.ShapeDtypeStruct((8, Dc), jnp.float32),
         ],
         interpret=interpret,
-    )(wb, pids2d, cids2d, e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc,
-      attp, attc, sselp, sselc, hm, mdtp, mdtc, mwinp, mcam, outp, outc, gp, gc, gen)
+    )(_wb_with_nlive(wb, nlive), pids2d, cids2d, e, lng, lnb, wlp, blp, wlc,
+      blc, xrp, xrc, attp, attc, sselp, sselc, hm, mdtp, mdtc, mwinp, mcam,
+      outp, outc, gp, gc, gen)
     return outs
 
 
@@ -1284,18 +1330,18 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
     (E/PACK, PACK*De) and ``en`` (with its cotangent) keeps that layout; the
     table-sided arguments/outputs are unchanged (ops/pallas/packing.py)."""
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21))
     def front(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-              edge_axis):
+              pids2d, cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+              interpret, edge_axis):
         (en, op, oc), _ = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
-                               att_p, att_c, pids2d, cids2d, wb, n_pts,
+                               att_p, att_c, pids2d, cids2d, wb, nlive, n_pts,
                                n_cams, W, Wc, slope, interpret, edge_axis)
         return en, op, oc
 
     def _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-             edge_axis):
+             pids2d, cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+             interpret, edge_axis):
         s_pad = _round_up(n_pts, W)
         xr_p_pad = xr_p if xr_p.shape[0] == s_pad else jnp.pad(
             xr_p, ((0, s_pad - xr_p.shape[0]), (0, 0))
@@ -1305,8 +1351,9 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         )
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
-            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps, interpret=interpret,
-            finalize=edge_axis is None, mm=mm, packed=packed,
+            pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
+            interpret=interpret, finalize=edge_axis is None, mm=mm,
+            packed=packed,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -1323,21 +1370,21 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
             mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
             mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
         res = (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p,
-               att_c, pids2d, cids2d, wb, outp, outc, mdp, mdc)
+               att_c, pids2d, cids2d, wb, nlive, outp, outc, mdp, mdc)
         return (en, outp[:n_pts], outc[:n_cams]), res
 
     def _fwd(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-             edge_axis):
+             pids2d, cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+             interpret, edge_axis):
         out, res = _run(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p,
-                        att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                        slope, interpret, edge_axis)
+                        att_c, pids2d, cids2d, wb, nlive, n_pts, n_cams, W,
+                        Wc, slope, interpret, edge_axis)
         return out, res
 
     def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
         gen, gp_out, gc_out = g
         (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
-         pids2d, cids2d, wb, outp, outc, mdp, mdc) = res
+         pids2d, cids2d, wb, nlive, outp, outc, mdp, mdc) = res
         if edge_axis is not None:
             # Interior transpose rule (ops/segment.py): psum the table
             # cotangents (partial -> full); `gen` is per-edge (shard-local).
@@ -1353,7 +1400,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         (de, dlng8, dlnb8, dwlp, dblp8, dwlc, dblc8, dxrp_full, dxrc_full,
          dattp8, dattc8) = _front_bwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
-            pids2d, cids2d, wb, mdp, mdc, outp, outc, gp, gc, gen,
+            pids2d, cids2d, wb, nlive, mdp, mdc, outp, outc, gp, gc, gen,
             W, Wc, Hp, Hc, slope, eps, interpret=interpret, mm=mm, packed=packed,
         )
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
@@ -1361,7 +1408,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         return (
             de, dlng8[0:1], dlnb8[0:1], dwlp, dblp8[0:1], dwlc, dblc8[0:1],
             dxrp_full[:n_pts], dxrc_full[:n_cams], dattp8[0:1], dattc8[0:1],
-            None, None, None,
+            None, None, None, None,
         )
 
     front.defvjp(_fwd, _bwd)
@@ -1373,7 +1420,8 @@ _FRONT_CACHE = {}
 
 def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
                    att_p, att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
-                   slope=0.2, interpret=False, edge_axis=None, packed=False):
+                   slope=0.2, interpret=False, edge_axis=None, packed=False,
+                   nlive=None):
     """LN + ReLU + both GATv2 source transforms + dual attention, fused.
 
     e: (E, De) RAW edge features — or lane-packed (E/PACK, PACK*De) when
@@ -1390,6 +1438,8 @@ def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
     if fn is None:
         fn = make_fused_frontend(*key)
         _FRONT_CACHE[key] = fn
+    if nlive is None:
+        nlive = jnp.asarray(wb.shape[0], dtype=jnp.int32)
     return fn(e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-              edge_axis)
+              pids2d, cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+              interpret, edge_axis)

@@ -47,6 +47,7 @@ from gasfm_tpu.ops.pallas.fused_dual_attn import (
     _head_masks,
     _id_row,
     _NEG,
+    _wb_with_nlive,
 )
 from gasfm_tpu.ops.pallas.packing import (
     PACK,
@@ -100,6 +101,15 @@ def _fwd_kernel(
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
     last_w = jnp.logical_or(c == nc - 1, wb_ref[jnp.minimum(c + 1, nc - 1)] != wb)
+    # Dead-chunk skip: wb_ref carries the live-chunk count as an extra
+    # trailing element (wb_ref[nc]). In the blocked layout all-padding
+    # chunks form a strict suffix (block runs pad to < CHUNK, the rest is
+    # the bucketed cap), every dead chunk repeats the last block id (so
+    # first_w/last_w stay consistent), and dead edges carry out-of-window
+    # ids — their contribution is exactly zero, so skipping the compute is
+    # an identity change. At the bench scene 11-17% of chunks are dead
+    # (cap bucketing + block padding); see BENCHLOG round 4.
+    live = c < wb_ref[nc]
 
     @pl.when(c == 0)
     def _():
@@ -123,112 +133,123 @@ def _fwd_kernel(
         mega_scr[0:W, Dpc : Dpc + De] = ps_ref[:]
         mega_scr[0:W, Dpc + De : Dpc + De + 1] = jnp.ones((W, 1), jnp.float32)
 
-    # ---- shared transposed one-hots, stacked along segments.
-    local_row = _id_row(pids_ref, c) - wb * W
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    match_p = local_row == seg_iota
-    ohT_p = match_p.astype(jnp.float32)
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
-    match_c = _id_row(cids_ref, c) == cam_iota
-    ohT_c = match_c.astype(jnp.float32)
-    ohT_pc = jnp.concatenate([ohT_p, ohT_c], axis=0)  # (W+Wc, CHUNK)
-    ohT_pc_mm = ohT_pc.astype(mm_dtype)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # Dead chunks' edge-output blocks still round-trip to HBM: give
+        # them finite contents (downstream kernels read them as padding).
+        el_ref[:] = jnp.zeros_like(el_ref)
+        ennext_ref[:] = jnp.zeros_like(ennext_ref)
 
-    # ---- ONE mega gather pass: z-gathers + update gathers + inwin flag.
-    gath = jax.lax.dot_general(
-        ohT_pc_mm, mega_scr[:].astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dpc + De + 1) lanes (phys 128)
-    mega_w = mega_scr.shape[1]
-    g_upd = pltpu.roll(gath, mega_w - Dpc, 1)[:, 0:De]
-    inwin = pltpu.roll(gath, mega_w - (Dpc + De), 1)[:, 0:1] > 0.5
+    @pl.when(live)
+    def _compute():
+        # ---- shared transposed one-hots, stacked along segments.
+        local_row = _id_row(pids_ref, c) - wb * W
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        match_p = local_row == seg_iota
+        ohT_p = match_p.astype(jnp.float32)
+        cam_iota = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        match_c = _id_row(cids_ref, c) == cam_iota
+        ohT_c = match_c.astype(jnp.float32)
+        ohT_pc = jnp.concatenate([ohT_p, ohT_c], axis=0)  # (W+Wc, CHUNK)
+        ohT_pc_mm = ohT_pc.astype(mm_dtype)
 
-    # ---- update part: e_l in unpacked space, written packed.
-    core_p = jax.lax.dot_general(
-        en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + c0_ref[:]
-    if has_skip:
-        core_p += jax.lax.dot_general(
-            skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        # ---- ONE mega gather pass: z-gathers + update gathers + inwin flag.
+        gath = jax.lax.dot_general(
+            ohT_pc_mm, mega_scr[:].astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dpc + De + 1) lanes (phys 128)
+        mega_w = mega_scr.shape[1]
+        g_upd = pltpu.roll(gath, mega_w - Dpc, 1)[:, 0:De]
+        inwin = pltpu.roll(gath, mega_w - (Dpc + De), 1)[:, 0:1] > 0.5
+
+        # ---- update part: e_l in unpacked space, written packed.
+        core_p = jax.lax.dot_general(
+            en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + c0_ref[:]
+        if has_skip:
+            core_p2 = core_p + jax.lax.dot_general(
+                skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            core_p2 = core_p
+        e_l = (unpack_tile(core_p2) + g_upd) * 0.25
+        if has_res:
+            e_l += unpack_tile(res_ref[:])
+        el_ref[:] = repack_tile(e_l)
+
+        # ---- frontend part over the lane-concatenated [point | camera] space.
+        mean = jnp.mean(e_l, axis=1, keepdims=True)
+        var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
+        xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
+        xn = xhat * lng_ref[:] + lnb_ref[:]
+        en = jnp.maximum(xn, 0.0)
+        ennext_ref[:] = repack_tile(en)
+        xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
+
+        z_pc = xl_pc + gath[:, 0:Dpc]
+        gz = jnp.where(z_pc >= 0, z_pc, slope * z_pc)
+        logits = jax.lax.dot_general(
+            gz * attpc_ref[:], sselpc_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, HP)
+
+        m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
+        m_old = mrun_scr[0:1, :]
+        m_new = jnp.maximum(m_old, m_vec)
+        scale_row = jnp.exp(m_old - m_new)
+        mrun_scr[0:1, :] = m_new
+        p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
+        ).astype(jnp.float32)
+        scale_col = jax.lax.dot_general(
+            eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    e_l = (unpack_tile(core_p) + g_upd) * 0.25
-    if has_res:
-        e_l += unpack_tile(res_ref[:])
-    el_ref[:] = repack_tile(e_l)
+        m_col = jax.lax.dot_general(
+            eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    # ---- frontend part over the lane-concatenated [point | camera] space.
-    mean = jnp.mean(e_l, axis=1, keepdims=True)
-    var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
-    xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
-    xn = xhat * lng_ref[:] + lnb_ref[:]
-    en = jnp.maximum(xn, 0.0)
-    ennext_ref[:] = repack_tile(en)
-    xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
+        p_dpc = jax.lax.dot_general(
+            p, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, Dpc)
+        scale_pc_d = jax.lax.dot_general(
+            scale_row, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Dpc)
 
-    z_pc = xl_pc + gath[:, 0:Dpc]
-    gz = jnp.where(z_pc >= 0, z_pc, slope * z_pc)
-    logits = jax.lax.dot_general(
-        gz * attpc_ref[:], sselpc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, HP)
+        num_stack = jax.lax.dot_general(
+            ohT_pc_mm, (p_dpc * xl_pc).astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (W+Wc, Dpc)
+        outp_ref[:] = outp_ref[:] * scale_pc_d[:, 0:Dp] + num_stack[0:W, 0:Dp]
+        out_c_new = pltpu.roll(num_stack[W : W + Wc, :], Dpc - Dp, 1)[:, 0 : Dpc - Dp]
+        outc_ref[:] = (
+            outc_ref[:] * pltpu.roll(scale_pc_d, Dpc - Dp, 1)[:, 0 : Dpc - Dp]
+            + out_c_new
+        )
 
-    m_vec = jnp.max(jnp.where(inwin, logits, _NEG), axis=0, keepdims=True)
-    m_old = mrun_scr[0:1, :]
-    m_new = jnp.maximum(m_old, m_vec)
-    scale_row = jnp.exp(m_old - m_new)
-    mrun_scr[0:1, :] = m_new
-    p = jnp.exp(jnp.minimum(logits - m_new, 0.0))
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (HP, HP), 1)
-    ).astype(jnp.float32)
-    scale_col = jax.lax.dot_general(
-        eye, scale_row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_col = jax.lax.dot_general(
-        eye, m_new, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    p_dpc = jax.lax.dot_general(
-        p, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, Dpc)
-    scale_pc_d = jax.lax.dot_general(
-        scale_row, sselpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, Dpc)
-
-    num_stack = jax.lax.dot_general(
-        ohT_pc_mm, (p_dpc * xl_pc).astype(mm_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (W+Wc, Dpc)
-    outp_ref[:] = outp_ref[:] * scale_pc_d[:, 0:Dp] + num_stack[0:W, 0:Dp]
-    out_c_new = pltpu.roll(num_stack[W : W + Wc, :], Dpc - Dp, 1)[:, 0 : Dpc - Dp]
-    outc_ref[:] = (
-        outc_ref[:] * pltpu.roll(scale_pc_d, Dpc - Dp, 1)[:, 0 : Dpc - Dp]
-        + out_c_new
-    )
-
-    den_stack = jax.lax.dot_general(
-        p, ohT_pc, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (HP, W+Wc)
-    mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
-    mdp_ref[HP : 2 * HP, :] = (
-        mdp_ref[HP : 2 * HP, :] * scale_col + den_stack[:, 0:W]
-    )
-    mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
-    mdc_ref[HP : 2 * HP, :] = (
-        mdc_ref[HP : 2 * HP, :] * scale_col
-        + pltpu.roll(den_stack, (W + Wc) - W, 1)[:, 0:Wc]
-    )
+        den_stack = jax.lax.dot_general(
+            p, ohT_pc, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HP, W+Wc)
+        mdp_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, W))
+        mdp_ref[HP : 2 * HP, :] = (
+            mdp_ref[HP : 2 * HP, :] * scale_col + den_stack[:, 0:W]
+        )
+        mdc_ref[0:HP, :] = jnp.broadcast_to(m_col, (HP, Wc))
+        mdc_ref[HP : 2 * HP, :] = (
+            mdc_ref[HP : 2 * HP, :] * scale_col
+            + pltpu.roll(den_stack, (W + Wc) - W, 1)[:, 0:Wc]
+        )
 
     if finalize:
         @pl.when(last_w)
@@ -296,6 +317,7 @@ def _bwd_kernel(
     c = pl.program_id(0)
     wb = wb_ref[c]
     first_w = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+    live = c < wb_ref[pl.num_programs(0)]  # dead-chunk skip (see _fwd_kernel)
 
     @pl.when(c == 0)
     def _():
@@ -347,6 +369,42 @@ def _bwd_kernel(
         pack_scr[0:W, Dpc : Dpc + Dp] = g * inv_wd
         pack_scr[0:W, 2 * Dpc : 2 * Dpc + HP] = -go * inv
 
+    @pl.when(jnp.logical_not(live))
+    def _():
+        den_out_ref[:] = jnp.zeros_like(den_out_ref)
+        if has_skip:
+            dskip2_ref[:] = jnp.zeros_like(dskip2_ref)
+        if has_res:
+            dres_ref[:] = jnp.zeros_like(dres_ref)
+
+    @pl.when(live)
+    def _compute():
+        _bwd_body(
+            wb, c, pids_ref, cids_ref, en_ref, skip2_ref, el_ref, we_ref,
+            wuv_ref, lng_ref, lnb_ref, wlpc_ref, blpc_ref, xrp_ref, xrc_ref,
+            attpc_ref, sselpc_ref, hm_ref, mwinp_ref, mcam_ref,
+            gen_ref, gel_ref, den_out_ref, dskip2_ref, dres_ref,
+            dps_ref, dpv_ref, dwe_ref, dwuv_ref, dsum_ref, dlng_ref,
+            dlnb_ref, dwlpc_ref, dblpc_ref, dxrp_ref, dxrc_ref, dattpc_ref,
+            pack_scr, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
+            mm_dtype=mm_dtype, has_skip=has_skip, has_res=has_res,
+        )
+
+
+def _bwd_body(
+    wb, c, pids_ref, cids_ref, en_ref, skip2_ref, el_ref, we_ref,
+    wuv_ref, lng_ref, lnb_ref, wlpc_ref, blpc_ref, xrp_ref, xrc_ref,
+    attpc_ref, sselpc_ref, hm_ref, mwinp_ref, mcam_ref,
+    gen_ref, gel_ref, den_out_ref, dskip2_ref, dres_ref,
+    dps_ref, dpv_ref, dwe_ref, dwuv_ref, dsum_ref, dlng_ref,
+    dlnb_ref, dwlpc_ref, dblpc_ref, dxrp_ref, dxrc_ref, dattpc_ref,
+    pack_scr, *, W, Wc, HP, slope, eps, mm_dtype, has_skip, has_res,
+):
+    De = wlpc_ref.shape[0]
+    Dpc = wlpc_ref.shape[1]
+    Dp = xrp_ref.shape[1]
+    Dc = Dpc - Dp
+    PW = pack_scr.shape[1]
     # ---- recompute the frontend prologue from the SAVED e_l stream (the
     # update itself is not recomputed).
     e_l = unpack_tile(el_ref[:])  # (CHUNK, De)
@@ -478,7 +536,7 @@ def _pad_ids(pids2d, cids2d):
     "has_skip", "has_res"))
 def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
              lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+             pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
              interpret=False, finalize=True, mm="f32",
              has_skip=True, has_res=True):
     rows, pde = en_p.shape
@@ -577,7 +635,7 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
             jax.ShapeDtypeStruct((2 * HP, Wc), jnp.float32),
         ],
         interpret=interpret,
-    )(wb, *operands)
+    )(_wb_with_nlive(wb, nlive), *operands)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -586,7 +644,7 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
 def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
              lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
              mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
-             pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+             pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
              interpret=False, mm="f32", has_skip=True, has_res=True):
     rows, pde = en_p.shape
     De = pde // PACK
@@ -721,7 +779,7 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(wb, *operands)
+    )(_wb_with_nlive(wb, nlive), *operands)
 
 
 def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
@@ -732,20 +790,20 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
     Outputs: (e_l_p, en_next_p, out_pt, out_cam).
     """
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25, 26, 27, 28))
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(23, 24, 25, 26, 27, 28, 29))
     def step(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
              lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb,
+             pids2d, cids2d, wb, nlive,
              n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         out, _ = _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
                       lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-                      pids2d, cids2d, wb,
+                      pids2d, cids2d, wb, nlive,
                       n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
         return out
 
     def _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
              lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb,
+             pids2d, cids2d, wb, nlive,
              n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         De = w_e.shape[1]
         s_pad = _round_up(n_pts, W)
@@ -763,7 +821,7 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         el_p, ennext_p, outp, outc, mdp, mdc = _fwd_raw(
             en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
             lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
-            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+            pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
             interpret=interpret, finalize=edge_axis is None, mm=mm,
             has_skip=has_skip, has_res=has_res,
         )
@@ -784,23 +842,23 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             mdc = mdc.at[Hp : Hp + Hc].set(mdc_g[:Hc])
             mdc = mdc.at[HP + Hp : HP + Hp + Hc].set(mdc_g[Hc : 2 * Hc])
         res = (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
-               xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+               xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb, nlive,
                outp, outc, mdp, mdc)
         return (el_p, ennext_p, outp[:n_pts], outc[:n_cams]), res
 
     def _fwd(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
              lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-             pids2d, cids2d, wb,
+             pids2d, cids2d, wb, nlive,
              n_pts, n_cams, W, Wc, slope, interpret, edge_axis):
         return _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
                     lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-                    pids2d, cids2d, wb,
+                    pids2d, cids2d, wb, nlive,
                     n_pts, n_cams, W, Wc, slope, interpret, edge_axis)
 
     def _bwd(n_pts, n_cams, W, Wc, slope, interpret, edge_axis, res, g):
         (gel_p, gen_p, gp_out, gc_out) = g
         (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
-         xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
+         xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb, nlive,
          outp, outc, mdp, mdc) = res
         if edge_axis is not None:
             # Interior transpose rule (ops/segment.py): psum the table
@@ -820,7 +878,7 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             en_p, skip2_p, el_p, we_bd, wuv_bd,
             lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
-            pids2d, cids2d, wb, W, Wc, Hp, Hc, slope, eps,
+            pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
             interpret=interpret, mm=mm, has_skip=has_skip, has_res=has_res,
         )
         i = 0
@@ -856,7 +914,7 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             dwlpc[:, Dp:], dblpc8[0:1, Dp:],
             dxrp_full[:n_pts], dxrc_full[:n_cams],
             dattpc8[0:1, 0:Dp], dattpc8[0:1, Dp:],
-            None, None, None,
+            None, None, None, None,
         )
 
     step.defvjp(_fwd, _bwd)
@@ -870,7 +928,7 @@ def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
                      ps, pv, pg, lng, lnb, wlp, blp, wlc, blc,
                      xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
                      n_pts, n_cams, W, Wc, slope=0.2, interpret=False,
-                     edge_axis=None):
+                     edge_axis=None, nlive=None):
     """Dispatch for the merged update+frontend step (see module docstring).
 
     en_p: (E/PACK, PACK*De) packed normalized stream of the PREVIOUS layer;
@@ -888,7 +946,9 @@ def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
     if fn is None:
         fn = make_fused_layer_step(*key)
         _CACHE[key] = fn
+    if nlive is None:
+        nlive = jnp.asarray(wb.shape[0], dtype=jnp.int32)
     return fn(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
               lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c, att_p, att_c,
-              pids2d, cids2d, wb, n_pts, n_cams, W, Wc, slope, interpret,
-              edge_axis)
+              pids2d, cids2d, wb, nlive, n_pts, n_cams, W, Wc, slope,
+              interpret, edge_axis)

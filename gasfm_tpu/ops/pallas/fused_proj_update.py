@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
+from gasfm_tpu.ops.pallas.fused_dual_attn import _wb_with_nlive
 from gasfm_tpu.ops.pallas.packing import (
     PACK,
     blockdiag,
@@ -94,38 +95,47 @@ def _fwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
 
     c = pl.program_id(0)
     wb = wb_ref[c]
+    live = c < wb_ref[pl.num_programs(0)]  # dead-chunk skip
 
-    # lin_proj in packed space: (Q, PACK*De) @ blockdiag -> (Q, PACK*D).
-    pe = jax.lax.dot_general(
-        en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + c0_ref[:]
-    if has_skip:
-        pe += jax.lax.dot_general(
-            skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    idrow_pt = _id_row(pids_ref, c) - wb * W
-    idrow_cam = _id_row(cids_ref, c)
-    ohts_pt = _quarter_ohts(idrow_pt, W, mm_dtype)
-    ohts_cam = _quarter_ohts(idrow_cam, Wc, mm_dtype)
-    quarters = []
-    for k in range(PACK):
-        g_k = jax.lax.dot_general(
-            ohts_pt[k], ps_ref[:].astype(mm_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+    @pl.when(live)
+    def _compute():
+        # lin_proj in packed space: (Q, PACK*De) @ blockdiag -> (Q, PACK*D).
+        pe = jax.lax.dot_general(
+            en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            ohts_cam[k], pv_ref[:].astype(mm_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Q, D)
-        quarters.append(g_k)
-    out = (pe + place_quarters(quarters)) * 0.25
-    if has_res:
-        out += res_ref[:]
-    out_ref[:] = out
+        ) + c0_ref[:]
+        if has_skip:
+            pe2 = pe + jax.lax.dot_general(
+                skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pe2 = pe
+
+        idrow_pt = _id_row(pids_ref, c) - wb * W
+        idrow_cam = _id_row(cids_ref, c)
+        ohts_pt = _quarter_ohts(idrow_pt, W, mm_dtype)
+        ohts_cam = _quarter_ohts(idrow_cam, Wc, mm_dtype)
+        quarters = []
+        for k in range(PACK):
+            g_k = jax.lax.dot_general(
+                ohts_pt[k], ps_ref[:].astype(mm_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                ohts_cam[k], pv_ref[:].astype(mm_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Q, D)
+            quarters.append(g_k)
+        out = (pe2 + place_quarters(quarters)) * 0.25
+        if has_res:
+            out += res_ref[:]
+        out_ref[:] = out
 
 
 def _bwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
@@ -165,43 +175,53 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
             dwuv_ref[:] = jnp.zeros_like(dwuv_ref)
         dsum_ref[:] = jnp.zeros_like(dsum_ref)
 
-    g4 = g_ref[:] * 0.25  # (Q, PACK*D)
-    den_ref[:] = jax.lax.dot_general(
-        g4, we_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if has_skip:
-        dskip2_ref[:] = jax.lax.dot_general(
-            g4, wuv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    # Weight grads accumulate block-diagonally; the wrapper contracts the
-    # diagonal blocks (packing.sum_diag_blocks).
-    dwe_ref[:] += jax.lax.dot_general(
-        en_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if has_skip:
-        dwuv_ref[:] += jax.lax.dot_general(
-            skip2_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    dsum_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
+    live = c < wb_ref[pl.num_programs(0)]  # dead-chunk skip
 
-    idrow_pt = _id_row(pids_ref, c) - wb * W
-    idrow_cam = _id_row(cids_ref, c)
-    ohts_pt = _quarter_ohts(idrow_pt, W, mm_dtype)
-    ohts_cam = _quarter_ohts(idrow_cam, Wc, mm_dtype)
-    for k in range(PACK):
-        g4_k = lane_group(g4, k, D).astype(mm_dtype)  # (Q, D), offset-0 via roll
-        dps_ref[:] += jax.lax.dot_general(
-            ohts_pt[k], g4_k, dimension_numbers=(((1,), (0,)), ((), ())),
+    @pl.when(jnp.logical_not(live))
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+        if has_skip:
+            dskip2_ref[:] = jnp.zeros_like(dskip2_ref)
+
+    @pl.when(live)
+    def _compute():
+        g4 = g_ref[:] * 0.25  # (Q, PACK*D)
+        den_ref[:] = jax.lax.dot_general(
+            g4, we_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dpv_ref[:] += jax.lax.dot_general(
-            ohts_cam[k], g4_k, dimension_numbers=(((1,), (0,)), ((), ())),
+        if has_skip:
+            dskip2_ref[:] = jax.lax.dot_general(
+                g4, wuv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # Weight grads accumulate block-diagonally; the wrapper contracts the
+        # diagonal blocks (packing.sum_diag_blocks).
+        dwe_ref[:] += jax.lax.dot_general(
+            en_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if has_skip:
+            dwuv_ref[:] += jax.lax.dot_general(
+                skip2_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dsum_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
+
+        idrow_pt = _id_row(pids_ref, c) - wb * W
+        idrow_cam = _id_row(cids_ref, c)
+        ohts_pt = _quarter_ohts(idrow_pt, W, mm_dtype)
+        ohts_cam = _quarter_ohts(idrow_cam, Wc, mm_dtype)
+        for k in range(PACK):
+            g4_k = lane_group(g4, k, D).astype(mm_dtype)  # (Q, D), offset-0 via roll
+            dps_ref[:] += jax.lax.dot_general(
+                ohts_pt[k], g4_k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpv_ref[:] += jax.lax.dot_general(
+                ohts_cam[k], g4_k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 def _pad_ids(pids2d, cids2d):
@@ -217,7 +237,8 @@ def _pad_ids(pids2d, cids2d):
     static_argnames=("W", "Wc", "D", "interpret", "mm", "has_skip", "has_res"),
 )
 def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
-             pids2d, cids2d, wb, W, Wc, D, interpret, mm, has_skip, has_res):
+             pids2d, cids2d, wb, nlive, W, Wc, D, interpret, mm, has_skip,
+             has_res):
     rows, pde = en_p.shape
     nchunks = rows // _Q
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
@@ -268,14 +289,14 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, pd_out), jnp.float32),
         interpret=interpret,
-    )(wb, *operands)
+    )(_wb_with_nlive(wb, nlive), *operands)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "Wc", "D", "s_pad", "interpret", "mm", "has_skip"),
 )
-def _bwd_raw(g_p, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb,
+def _bwd_raw(g_p, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb, nlive,
              W, Wc, D, s_pad, interpret, mm, has_skip):
     rows, pde = en_p.shape
     nchunks = rows // _Q
@@ -339,7 +360,7 @@ def _bwd_raw(g_p, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(wb, *operands)
+    )(_wb_with_nlive(wb, nlive), *operands)
 
 
 def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
@@ -350,15 +371,16 @@ def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
     (pass None) and their cotangents return as None.
     """
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
     def update(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-               pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+               pids2d, cids2d, wb, nlive, num_pts, num_cams, W, interpret):
         out, _ = _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-                      pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+                      pids2d, cids2d, wb, nlive, num_pts, num_cams, W,
+                      interpret)
         return out
 
     def _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-             pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+             pids2d, cids2d, wb, nlive, num_pts, num_cams, W, interpret):
         D = w_e.shape[1]
         s_pad = _round_up(num_pts, W)
         Wc = _round_up(max(num_cams, 1), 128)
@@ -372,25 +394,26 @@ def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
         c0 = tile_row(b.reshape(1, D) + pg.reshape(1, D))
         wuv_bd = blockdiag(w_uv) if has_skip else None
         out = _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
-                       pids2d, cids2d, wb, W, Wc, D, interpret, mm,
+                       pids2d, cids2d, wb, nlive, W, Wc, D, interpret, mm,
                        has_skip, has_res)
-        res = (en_p, skip2_p, w_e, w_uv, pids2d, cids2d, wb)
+        res = (en_p, skip2_p, w_e, w_uv, pids2d, cids2d, wb, nlive)
         return out, res
 
     def _fwd(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-             pids2d, cids2d, wb, num_pts, num_cams, W, interpret):
+             pids2d, cids2d, wb, nlive, num_pts, num_cams, W, interpret):
         return _run(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-                    pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+                    pids2d, cids2d, wb, nlive, num_pts, num_cams, W,
+                    interpret)
 
     def _bwd(num_pts, num_cams, W, interpret, res, g):
-        en_p, skip2_p, w_e, w_uv, pids2d, cids2d, wb = res
+        en_p, skip2_p, w_e, w_uv, pids2d, cids2d, wb, nlive = res
         D = w_e.shape[1]
         s_pad = _round_up(num_pts, W)
         Wc = _round_up(max(num_cams, 1), 128)
         we_bd = blockdiag(w_e)
         wuv_bd = blockdiag(w_uv) if has_skip else None
         outs = _bwd_raw(g, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb,
-                        W, Wc, D, s_pad, interpret, mm, has_skip)
+                        nlive, W, Wc, D, s_pad, interpret, mm, has_skip)
         i = 0
         den_p = outs[i]
         i += 1
@@ -421,7 +444,7 @@ def make_packed_proj_update(has_skip: bool, has_res: bool, mm: str):
             dps_full[:num_pts],
             dpv_full[:num_cams],
             dsum,
-            None, None, None,
+            None, None, None, None,
         )
 
     update.defvjp(_fwd, _bwd)
@@ -433,7 +456,7 @@ _CACHE = {}
 
 def packed_edge_update(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
                        pids2d, cids2d, wb, num_pts, num_cams, W,
-                       interpret=False):
+                       interpret=False, nlive=None):
     """Dispatch: ``((en@w_e [+ skip2@w_uv] + b) + ps[pt] + pv[cam] + pg)/4
     [+ res]`` over lane-packed edge streams.
 
@@ -450,5 +473,7 @@ def packed_edge_update(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
     if fn is None:
         fn = make_packed_proj_update(*key)
         _CACHE[key] = fn
+    if nlive is None:
+        nlive = jnp.asarray(wb.shape[0], dtype=jnp.int32)
     return fn(en_p, skip2_p, res_p, w_e, b, w_uv, ps, pv, pg,
-              pids2d, cids2d, wb, num_pts, num_cams, W, interpret)
+              pids2d, cids2d, wb, nlive, num_pts, num_cams, W, interpret)

@@ -35,10 +35,15 @@ class SegmentWindows(NamedTuple):
     (gasfm_tpu/graph/view_graph.py): ``block`` is the (E // CHUNK,)
     non-decreasing point-block index per aligned edge chunk; ``row_ok``
     masks segments whose block is never visited (their kernel output is
-    undefined — XLA semantics demand the reduction's neutral value there)."""
+    undefined — XLA semantics demand the reduction's neutral value there);
+    ``nlive`` is the traced count of chunks holding at least one valid
+    edge (a PREFIX in this layout — all-padding chunks are a strict
+    suffix), letting the fused kernels skip dead chunks' compute entirely
+    (None = treat every chunk as live)."""
 
     block: jnp.ndarray  # (E // CHUNK,) int32
     row_ok: Optional[jnp.ndarray]  # (num_segments,) bool or None
+    nlive: Optional[jnp.ndarray] = None  # () int32 live-chunk count or None
 
 
 # ---------------------------------------------------------------------------

@@ -386,3 +386,59 @@ class TestMergedLayerStep:
                 np.asarray(gm), np.asarray(gs), atol=5e-4 * scale, rtol=2e-3,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
+
+    def test_merged_dead_chunk_skip_exact(self, monkeypatch):
+        """Dead-chunk skip (SegmentWindows.nlive): an edge cap far above the
+        blocked need leaves a suffix of all-padding chunks whose compute the
+        merged kernel skips entirely — forward and every gradient must stay
+        identical to the pure-XLA path."""
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.graph.view_graph import CHUNK, build_view_graph, blocked_edge_count
+        from gasfm_tpu.models.gasfm import GraphAttnSfMNet
+
+        data = generate_synthetic_scene(n_views=8, n_points=600, visibility=0.5, seed=9)
+        blocked = blocked_edge_count(np.asarray(data.M))
+        # >= 4 dead chunks after the blocked region.
+        e_cap = ((blocked + CHUNK - 1) // CHUNK + 4) * CHUNK
+        graph = build_view_graph(data.M, data.Ns, caps=(8, 640, e_cap))
+        n_dead = int(e_cap // CHUNK - np.any(
+            np.asarray(graph.edge_mask).reshape(-1, CHUNK), axis=1).sum())
+        assert n_dead >= 4
+
+        model = GraphAttnSfMNet(
+            num_layers=3, n_heads=4, n_feat_proj=32, n_feat_scenepoint=24,
+            n_feat_view=40, n_feat_global=48, stateful_global_features=True,
+            add_skipconn_from_init_projfeat=True,
+        )
+        set_kernel_mode("off")
+        params = model.init(jax.random.PRNGKey(0), graph)
+
+        def loss_fn(p):
+            pred = model.apply(p, graph)
+            return (
+                jnp.sum(jnp.abs(pred["Ps_norm"])) * 1e-3
+                + jnp.sum(jnp.abs(pred["pts3D"])) * 1e-3
+            )
+
+        def run(packed_env, merged_env, mode):
+            monkeypatch.setenv("GASFM_PACKED", packed_env)
+            monkeypatch.setenv("GASFM_MERGED", merged_env)
+            set_kernel_mode(mode)
+            try:
+                l, g = jax.value_and_grad(loss_fn)(params)
+                return float(l), g
+            finally:
+                set_kernel_mode("auto")
+
+        l_ref, g_ref = run("0", "0", "off")
+        l_m, g_m = run("1", "1", "interpret")
+        np.testing.assert_allclose(l_m, l_ref, rtol=2e-5)
+        for (path, gs), gm in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves(g_m),
+        ):
+            scale = max(2e-4, float(np.abs(np.asarray(gs)).max()))
+            np.testing.assert_allclose(
+                np.asarray(gm), np.asarray(gs), atol=5e-4 * scale, rtol=2e-3,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
