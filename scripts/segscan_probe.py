@@ -38,6 +38,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if os.environ.get("SEGSCAN_INTERPRET", "0") == "1":
+    # True-CPU interpret mode: the sitecustomize force-registers the
+    # tunneled TPU plugin before env vars can act, so set the config knob
+    # (interpret mode on the TPU backend would run the dot_generals at the
+    # backend's default bf16 matmul precision and muddy the correctness
+    # comparison).
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -79,6 +87,112 @@ def _onehot_kernel(wb_ref, ids_ref, x_ref, out_ref):
         ohT, x_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _onehot_bf16_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """One-hot pass with bf16 operands (one-hot exact in bf16; x rounds)."""
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[pl.ds(c % 8, 1), :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    ohT = (ids == iota).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        ohT, x_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_only_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """The MXU pass with a CONSTANT selection operand: isolates dot + DMA
+    (no id fetch, no compare, no dtype convert)."""
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (W, CHUNK), 1)
+    ohT = (iota_c % W == iota_r).astype(jnp.float32)  # constant, hoistable
+    out_ref[:] += jax.lax.dot_general(
+        ohT, x_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stream_only_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """No W-shaped work at all: just stream the x block through. Isolates
+    per-grid-step overhead + input DMA."""
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += x_ref[0:1, :] * 1e-30
+
+
+def _no_accum_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """Full one-hot pass but OVERWRITING the output (no read-modify-write
+    chain across grid steps): isolates the serial accumulation dependency."""
+    c = pl.program_id(0)
+    ids = ids_ref[pl.ds(c % 8, 1), :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    ohT = (ids == iota).astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        ohT, x_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stream_bf16_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """Full one-hot pass with the x stream STORED bf16 (half the HBM
+    bytes): tests the streaming-bound hypothesis — if the kernels are
+    stream-bound, halving storage should cut ~half the floor."""
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[pl.ds(c % 8, 1), :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    ohT = (ids == iota).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        ohT, x_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _build_only_kernel(wb_ref, ids_ref, x_ref, out_ref):
+    """One-hot build + a cheap VPU consume (no MXU pass): isolates the id
+    fetch + compare + convert cost."""
+    c = pl.program_id(0)
+    wb = wb_ref[c]
+    first = jnp.logical_or(c == 0, wb_ref[jnp.maximum(c - 1, 0)] != wb)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[pl.ds(c % 8, 1), :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    ohT = (ids == iota).astype(jnp.float32)
+    deg = jnp.sum(ohT, axis=1, keepdims=True)  # (W, 1) VPU reduce
+    out_ref[:] += deg + x_ref[0:1, :] * 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -200,31 +314,56 @@ def main():
         "staircase": _staircase_kernel,
         "scan": _scan_kernel,
     }
-    # Correctness first (every mode).
-    ref = None
-    for name, k in kernels.items():
-        out = np.asarray(_build(k, n_chunks, n_blocks, interpret)(wb, ids_p, x))
-        if ref is None:
-            ref = out
-        else:
-            err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
-            print(f"{name}: max rel err vs onehot = {err:.2e}")
+    if os.environ.get("SEGSCAN_DECOMPOSE", "0") == "1":
+        kernels = {
+            "onehot": _onehot_kernel,
+            "onehot_bf16": _onehot_bf16_kernel,
+            "dot_only": _dot_only_kernel,
+            "build_only": _build_only_kernel,
+            "stream_only": _stream_only_kernel,
+            "no_accum": _no_accum_kernel,
+            "stream_bf16": _stream_bf16_kernel,
+        }
+    # Correctness first (skipped for the decomposition variants, which
+    # intentionally compute different things).
+    if os.environ.get("SEGSCAN_DECOMPOSE", "0") != "1":
+        ref = None
+        for name, k in kernels.items():
+            out = np.asarray(_build(k, n_chunks, n_blocks, interpret)(wb, ids_p, x))
+            if ref is None:
+                ref = out
+            else:
+                err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+                print(f"{name}: max rel err vs onehot = {err:.2e}")
     if interpret:
         print("interpret-mode correctness check done (run on TPU for timings)")
         return
 
-    reps = 30
+    # Steady-state timing: K kernel sweeps inside ONE jitted lax.scan (the
+    # tunnel's per-dispatch latency would otherwise dominate a single
+    # ~1 ms sweep), consuming the previous output so sweeps serialize.
+    K = 20
+    reps = 5
     for name, k in kernels.items():
         f = _build(k, n_chunks, n_blocks)
-        out = f(wb, ids_p, x)
-        out.block_until_ready()
+        x_in = x.astype(jnp.bfloat16) if name == "stream_bf16" else x
+
+        @jax.jit
+        def many(w, i, xx):
+            def body(carry, _):
+                out = f(w, i, xx + carry * 1e-30)
+                return jnp.sum(out[0, 0:1]), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            return c
+
+        float(many(wb, ids_p, x_in))
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = f(wb, ids_p, x)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+            c = many(wb, ids_p, x_in)
+        float(c)
+        dt = (time.perf_counter() - t0) / (reps * K)
         print(f"{name:10s}: {dt * 1e6 / n_chunks:7.3f} us/chunk "
-              f"({n_chunks * CHUNK / dt / 1e6:8.1f} M edges/s) checksum={float(jnp.sum(out)):.3f}")
+              f"({n_chunks * CHUNK / dt / 1e6:8.1f} M edges/s)")
 
 
 if __name__ == "__main__":
