@@ -103,6 +103,16 @@ class SceneLoader:
 
     Yields lists of SceneData of length ``batch_size`` (last batch may be
     short), mirroring DataLoader(batch_size, shuffle) semantics.
+
+    RNG streams: with ``num_workers == 0`` every sample draws from the
+    loader's single ``rng`` in iteration order; with ``num_workers > 0``
+    each fork-pool worker derives its own child stream (seeded per worker
+    from ``rng``), so the sequence of random view subsets/augmentations
+    DIFFERS between the two settings (and between worker counts). This
+    mirrors the reference's behavior (per-worker seeded generators,
+    code/datasets/ScenesDataSet.py + general_utils.py:298-303) —
+    distributional, not bitwise, reproducibility across worker configs;
+    bitwise reproducibility holds for a FIXED (seed, num_workers).
     """
 
     def __init__(

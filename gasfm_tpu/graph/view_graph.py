@@ -69,10 +69,9 @@ CHUNK = int(_os.environ.get("GASFM_CHUNK", "512"))
 # multiple of 128 (sublane-divisible id-row blocks, lane-aligned chunks); an
 # off-grid override would fail far from here with confusing Mosaic errors.
 # Multi-host runs must set it identically in every process (it shapes the
-# compiled programs).
-assert CHUNK > 0 and CHUNK % 128 == 0, (
-    f"GASFM_CHUNK must be a positive multiple of 128, got {CHUNK}"
-)
+# compiled programs). Raise (not assert): the check must survive python -O.
+if CHUNK <= 0 or CHUNK % 128 != 0:
+    raise ValueError(f"GASFM_CHUNK must be a positive multiple of 128, got {CHUNK}")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -70,12 +70,18 @@ def write_xlsx(path: str, df) -> str:
     rows_xml = []
     cells = "".join(_cell(1, j, h) for j, h in enumerate(header))
     rows_xml.append(f'<row r="1">{cells}</row>')
+    def _coerce(v):
+        # np scalars are not int/float subclasses; without this, numeric
+        # values (including numeric INDEXES) serialize as inline strings
+        # and read back as text (round-3 ADVICE item 4).
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        return v
+
     for i, (idx, row) in enumerate(df.iterrows(), start=2):
-        values = [idx] + [
-            (float(v) if isinstance(v, (np.floating,)) else
-             int(v) if isinstance(v, (np.integer,)) else v)
-            for v in row.tolist()
-        ]
+        values = [_coerce(idx)] + [_coerce(v) for v in row.tolist()]
         cells = "".join(_cell(i, j, v) for j, v in enumerate(values))
         rows_xml.append(f'<row r="{i}">{cells}</row>')
 
