@@ -85,6 +85,7 @@ class GraphAttnSfMNet(nn.Module):
         from gasfm_tpu.ops.pallas.packing import (
             pack_edges,
             packed_streams_enabled,
+            stream_dtype,
             unpack_edges,
         )
 
@@ -103,7 +104,7 @@ class GraphAttnSfMNet(nn.Module):
 
         use_merged = use_packed and _os.environ.get("GASFM_MERGED", "1") != "0"
         skip_init_packed = (
-            pack_edges(skip_init, CHUNK)
+            pack_edges(skip_init, CHUNK).astype(stream_dtype())
             if (use_packed and skip_init is not None)
             else None
         )
@@ -134,10 +135,10 @@ class GraphAttnSfMNet(nn.Module):
             )
             defer = use_merged and layer_packed and next_packed
             if layer_packed and not e_packed:
-                e = pack_edges(e, CHUNK)
+                e = pack_edges(e, CHUNK).astype(stream_dtype())
                 e_packed = True
             elif e_packed and not layer_packed:
-                e = unpack_edges(e, CHUNK)
+                e = unpack_edges(e, CHUNK).astype(jnp.float32)
                 e_packed = False
             e, s, v, g = layer_cls(
                 n_feat_proj_in=d_emb if first else self.n_feat_proj,
@@ -177,7 +178,7 @@ class GraphAttnSfMNet(nn.Module):
                 ),
             )
         if e_packed:
-            e = unpack_edges(e, CHUNK)
+            e = unpack_edges(e, CHUNK).astype(jnp.float32)
 
         pred: Dict[str, Any] = {}
 

@@ -292,7 +292,9 @@ def gatv2_layer_frontend(
     if (
         _kernels_enabled()
         and window is not None
-        and e_raw.dtype == jnp.float32
+        # bf16 accepted for lane-packed streams (packing.stream_dtype).
+        and (e_raw.dtype == jnp.float32
+             or (packed and e_raw.dtype == jnp.bfloat16))
         and E % _CHUNK == 0
         and num_cams <= _DENSE_MAX_SEGMENTS
     ):
@@ -325,7 +327,8 @@ def gatv2_layer_frontend(
     if packed:
         from gasfm_tpu.ops.pallas.packing import pack_edges, unpack_edges
 
-        e_raw = unpack_edges(e_raw, _CHUNK)
+        in_dtype = e_raw.dtype
+        e_raw = unpack_edges(e_raw, _CHUNK).astype(jnp.float32)
     en = _layer_norm_relu(e_raw, ln_scale, ln_bias, eps)
     xl_p = (en @ wlp + blp).reshape(E, Hp, Cp)
     xl_c = (en @ wlc + blc).reshape(E, Hc, Cc)
@@ -335,7 +338,7 @@ def gatv2_layer_frontend(
         edge_mask=edge_mask, negative_slope=negative_slope,
     )
     if packed:
-        en = pack_edges(en, _CHUNK)
+        en = pack_edges(en, _CHUNK).astype(in_dtype)
     return en, out_p, out_c
 
 

@@ -781,13 +781,16 @@ def _front_fwd_kernel(
         # (CHUNK/4, 4*De) tile (4 edges per row — see ops/pallas/packing.py) and
         # the normalized stream is written back packed; the unpack/repack costs
         # ~0.12 us/chunk vs the 4x DMA the padded (CHUNK, De) form pays.
-        e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
+        # Streams may be stored bf16 (packing.stream_dtype): upcast on
+        # load, downcast on store; math stays f32.
+        e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
+             else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
         mean = jnp.mean(e, axis=1, keepdims=True)
         var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
         xhat = (e - mean) * jax.lax.rsqrt(var + eps)
         xn = xhat * lng_ref[:] + lnb_ref[:]
         en = jnp.maximum(xn, 0.0)
-        en_ref[:] = repack_tile(en) if packed else en
+        en_ref[:] = (repack_tile(en) if packed else en).astype(en_ref.dtype)
         xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
         xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
@@ -942,11 +945,11 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         stream_spec = pl.BlockSpec(
             (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
         )
-        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), jnp.float32)
+        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), e.dtype)
     else:
         stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
                                    memory_space=pltpu.VMEM)
-        stream_shape = jax.ShapeDtypeStruct((E, De), jnp.float32)
+        stream_shape = jax.ShapeDtypeStruct((E, De), e.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),
@@ -1068,8 +1071,9 @@ def _front_bwd_kernel(
 
     @pl.when(live)
     def _compute():
-        # ---- recompute the prologue.
-        e = unpack_tile(e_ref[:]) if packed else e_ref[:]  # (CHUNK, De)
+        # ---- recompute the prologue (streams may be bf16: upcast on load).
+        e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
+             else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
         De = e.shape[1]
         mean = jnp.mean(e, axis=1, keepdims=True)
         var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
@@ -1167,7 +1171,8 @@ def _front_bwd_kernel(
         dattc_ref[0:1, :] += jnp.sum(dl_dc * gz_c, axis=0, keepdims=True)
 
         # ---- prologue backward.
-        gen = unpack_tile(gen_ref[:]) if packed else gen_ref[:]
+        gen = (unpack_tile(gen_ref[:].astype(jnp.float32)) if packed
+               else gen_ref[:].astype(jnp.float32))
         d_en = (
             jax.lax.dot_general(
                 dxlp, wlp_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1197,7 +1202,7 @@ def _front_bwd_kernel(
         mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
         mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
         de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
-        de_ref[:] = repack_tile(de) if packed else de
+        de_ref[:] = (repack_tile(de) if packed else de).astype(de_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
@@ -1239,11 +1244,11 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         stream_spec = pl.BlockSpec(
             (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
         )
-        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), jnp.float32)
+        stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), e.dtype)
     else:
         stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
                                    memory_space=pltpu.VMEM)
-        stream_shape = jax.ShapeDtypeStruct((E, De), jnp.float32)
+        stream_shape = jax.ShapeDtypeStruct((E, De), e.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // _CHUNK,),

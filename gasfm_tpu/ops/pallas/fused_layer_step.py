@@ -163,22 +163,26 @@ def _fwd_kernel(
         g_upd = pltpu.roll(gath, mega_w - Dpc, 1)[:, 0:De]
         inwin = pltpu.roll(gath, mega_w - (Dpc + De), 1)[:, 0:1] > 0.5
 
-        # ---- update part: e_l in unpacked space, written packed.
+        # ---- update part: e_l in unpacked space, written packed. Streams
+        # may be stored bf16 (packing.stream_dtype): upcast on load,
+        # downcast on store; all math stays f32.
         core_p = jax.lax.dot_general(
-            en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            en_ref[:].astype(jnp.float32), we_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + c0_ref[:]
         if has_skip:
             core_p2 = core_p + jax.lax.dot_general(
-                skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                skip2_ref[:].astype(jnp.float32), wuv_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
             core_p2 = core_p
         e_l = (unpack_tile(core_p2) + g_upd) * 0.25
         if has_res:
-            e_l += unpack_tile(res_ref[:])
-        el_ref[:] = repack_tile(e_l)
+            e_l += unpack_tile(res_ref[:].astype(jnp.float32))
+        el_ref[:] = repack_tile(e_l).astype(el_ref.dtype)
 
         # ---- frontend part over the lane-concatenated [point | camera] space.
         mean = jnp.mean(e_l, axis=1, keepdims=True)
@@ -186,7 +190,7 @@ def _fwd_kernel(
         xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
         xn = xhat * lng_ref[:] + lnb_ref[:]
         en = jnp.maximum(xn, 0.0)
-        ennext_ref[:] = repack_tile(en)
+        ennext_ref[:] = repack_tile(en).astype(ennext_ref.dtype)
         xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
 
         z_pc = xl_pc + gath[:, 0:Dpc]
@@ -406,8 +410,9 @@ def _bwd_body(
     Dc = Dpc - Dp
     PW = pack_scr.shape[1]
     # ---- recompute the frontend prologue from the SAVED e_l stream (the
-    # update itself is not recomputed).
-    e_l = unpack_tile(el_ref[:])  # (CHUNK, De)
+    # update itself is not recomputed). Streams may be stored bf16
+    # (packing.stream_dtype): upcast on load, downcast on store.
+    e_l = unpack_tile(el_ref[:].astype(jnp.float32))  # (CHUNK, De)
     mean = jnp.mean(e_l, axis=1, keepdims=True)
     var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
@@ -470,7 +475,7 @@ def _bwd_body(
     dxrc_ref[:] += pltpu.roll(scat_xr[W : W + Wc, :], Dpc - Dp, 1)[:, 0:Dc]
     dattpc_ref[0:1, :] += jnp.sum(dl_dpc * gz, axis=0, keepdims=True)
 
-    gen = unpack_tile(gen_ref[:])
+    gen = unpack_tile(gen_ref[:].astype(jnp.float32))
     d_en = jax.lax.dot_general(
         dxl_pc, wlpc_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -488,29 +493,31 @@ def _bwd_body(
     mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
     d_el = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
-    d_el += unpack_tile(gel_ref[:])  # downstream cotangent of e_l
+    d_el += unpack_tile(gel_ref[:].astype(jnp.float32))  # downstream cotangent of e_l
 
     # ---- update backward (from the total e_l cotangent).
     d_el_p = repack_tile(d_el)
     if has_res:
-        dres_ref[:] = d_el_p
+        dres_ref[:] = d_el_p.astype(dres_ref.dtype)
     d_core_p = d_el_p * 0.25
     den_out_ref[:] = jax.lax.dot_general(
         d_core_p, we_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(den_out_ref.dtype)
     if has_skip:
         dskip2_ref[:] = jax.lax.dot_general(
             d_core_p, wuv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(dskip2_ref.dtype)
     dwe_ref[:] += jax.lax.dot_general(
-        en_ref[:], d_core_p, dimension_numbers=(((0,), (0,)), ((), ())),
+        en_ref[:].astype(jnp.float32), d_core_p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if has_skip:
         dwuv_ref[:] += jax.lax.dot_general(
-            skip2_ref[:], d_core_p, dimension_numbers=(((0,), (0,)), ((), ())),
+            skip2_ref[:].astype(jnp.float32), d_core_p,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dsum_ref[0:1, :] += jnp.sum(d_core_p, axis=0, keepdims=True)
@@ -627,8 +634,8 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
                           has_skip=has_skip, has_res=has_res),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32),
-            jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32),
+            jax.ShapeDtypeStruct((rows, PACK * De), en_p.dtype),
+            jax.ShapeDtypeStruct((rows, PACK * De), en_p.dtype),
             jax.ShapeDtypeStruct((s_pad, Dp), jnp.float32),
             jax.ShapeDtypeStruct((Wc, Dc), jnp.float32),
             jax.ShapeDtypeStruct((2 * HP, s_pad), jnp.float32),
@@ -723,13 +730,13 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
                  gp, gc, gen_p, gel_p]
 
     out_specs = [stream(pde)]
-    out_shapes = [jax.ShapeDtypeStruct((rows, pde), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((rows, pde), en_p.dtype)]
     if has_skip:
         out_specs.append(stream(d2p))
-        out_shapes.append(jax.ShapeDtypeStruct((rows, d2p), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, d2p), skip2_p.dtype))
     if has_res:
         out_specs.append(stream(PACK * De))
-        out_shapes.append(jax.ShapeDtypeStruct((rows, PACK * De), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, PACK * De), en_p.dtype))
     out_specs += [
         pl.BlockSpec((W, De), wblk, memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, De), fixed, memory_space=pltpu.VMEM),

@@ -104,13 +104,17 @@ def _fwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
     @pl.when(live)
     def _compute():
         # lin_proj in packed space: (Q, PACK*De) @ blockdiag -> (Q, PACK*D).
+        # Streams may be stored bf16 (packing.stream_dtype): upcast on
+        # load, downcast on store; math stays f32.
         pe = jax.lax.dot_general(
-            en_ref[:], we_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            en_ref[:].astype(jnp.float32), we_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + c0_ref[:]
         if has_skip:
             pe2 = pe + jax.lax.dot_general(
-                skip2_ref[:], wuv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                skip2_ref[:].astype(jnp.float32), wuv_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
@@ -134,8 +138,8 @@ def _fwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
             quarters.append(g_k)
         out = (pe2 + place_quarters(quarters)) * 0.25
         if has_res:
-            out += res_ref[:]
-        out_ref[:] = out
+            out += res_ref[:].astype(jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
@@ -185,25 +189,27 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, en_ref, *rest,
 
     @pl.when(live)
     def _compute():
-        g4 = g_ref[:] * 0.25  # (Q, PACK*D)
+        g4 = g_ref[:].astype(jnp.float32) * 0.25  # (Q, PACK*D)
         den_ref[:] = jax.lax.dot_general(
             g4, we_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(den_ref.dtype)
         if has_skip:
             dskip2_ref[:] = jax.lax.dot_general(
                 g4, wuv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(dskip2_ref.dtype)
         # Weight grads accumulate block-diagonally; the wrapper contracts the
         # diagonal blocks (packing.sum_diag_blocks).
         dwe_ref[:] += jax.lax.dot_general(
-            en_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
+            en_ref[:].astype(jnp.float32), g4,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_skip:
             dwuv_ref[:] += jax.lax.dot_general(
-                skip2_ref[:], g4, dimension_numbers=(((0,), (0,)), ((), ())),
+                skip2_ref[:].astype(jnp.float32), g4,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         dsum_ref[0:1, :] += jnp.sum(g4, axis=0, keepdims=True)
@@ -287,7 +293,7 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
         functools.partial(_fwd_kernel, W=W, Wc=Wc, D=D, mm_dtype=mm_dtype,
                           has_skip=has_skip, has_res=has_res),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, pd_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, pd_out), en_p.dtype),
         interpret=interpret,
     )(_wb_with_nlive(wb, nlive), *operands)
 
@@ -328,10 +334,10 @@ def _bwd_raw(g_p, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb, nlive,
     operands.append(g_p)
 
     out_specs = [_stream(pde)]
-    out_shapes = [jax.ShapeDtypeStruct((rows, pde), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((rows, pde), en_p.dtype)]
     if has_skip:
         out_specs.append(_stream(d2p))
-        out_shapes.append(jax.ShapeDtypeStruct((rows, d2p), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, d2p), skip2_p.dtype))
     out_specs += [
         pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Wc, D), fixed, memory_space=pltpu.VMEM),

@@ -36,6 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 PACK = 4
 
 
+def stream_dtype():
+    """Storage dtype of the packed inter-layer edge streams.
+
+    ``GASFM_STREAM_DTYPE=bf16`` stores the packed streams (and their
+    cotangents) in bfloat16 — HALVING the per-chunk HBM stream volume that
+    BENCHLOG section 20 measures as the fused kernels' binding floor. All
+    in-kernel math stays f32 (streams upcast on load, downcast on store);
+    tables, parameters, gradients-of-parameters and the unpacked boundary
+    layers stay f32. This rounds activations (and activation cotangents) to
+    bf16 once per layer — standard mixed-precision training behavior,
+    OFF by default for bit-level parity with the reference.
+
+    Read at trace time (like GASFM_KERNEL_MODE): changing the env var does
+    not invalidate already-jitted callables.
+    """
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("GASFM_STREAM_DTYPE", "f32") == "bf16"
+        else jnp.float32
+    )
+
+
 def packable(n_feat: int, chunk: int) -> bool:
     """Whether the packed layout applies to an edge stream of width n_feat.
 

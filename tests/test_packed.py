@@ -442,3 +442,61 @@ class TestMergedLayerStep:
                 np.asarray(gm), np.asarray(gs), atol=5e-4 * scale, rtol=2e-3,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
+
+
+class TestBF16Streams:
+    """GASFM_STREAM_DTYPE=bf16: packed inter-layer edge streams (and their
+    cotangents) stored in bfloat16 — BENCHLOG section 20's stream-bound
+    lever. All in-kernel math stays f32, so the loss and gradients must
+    track the f32-stream path to bf16-rounding tolerance."""
+
+    def test_bf16_stream_close_to_f32(self, monkeypatch):
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.graph.view_graph import build_view_graph
+        from gasfm_tpu.models.gasfm import GraphAttnSfMNet
+
+        data = generate_synthetic_scene(n_views=8, n_points=600, visibility=0.5, seed=9)
+        graph = build_view_graph(data.M, data.Ns)
+        model = GraphAttnSfMNet(
+            num_layers=4, n_heads=4, n_feat_proj=32, n_feat_scenepoint=24,
+            n_feat_view=40, n_feat_global=48, stateful_global_features=True,
+            add_skipconn_from_init_projfeat=True,
+        )
+        monkeypatch.setenv("GASFM_PACKED", "1")
+        monkeypatch.setenv("GASFM_MERGED", "1")
+        set_kernel_mode("interpret")
+        params = model.init(jax.random.PRNGKey(0), graph)
+
+        def loss_fn(p):
+            pred = model.apply(p, graph)
+            return (
+                jnp.sum(jnp.abs(pred["Ps_norm"])) * 1e-3
+                + jnp.sum(jnp.abs(pred["pts3D"])) * 1e-3
+            )
+
+        def run(dtype_env):
+            monkeypatch.setenv("GASFM_STREAM_DTYPE", dtype_env)
+            set_kernel_mode("interpret")
+            try:
+                l, g = jax.value_and_grad(loss_fn)(params)
+                return float(l), g
+            finally:
+                set_kernel_mode("auto")
+
+        l_f32, g_f32 = run("f32")
+        l_bf16, g_bf16 = run("bf16")
+        assert np.isfinite(l_bf16)
+        # bf16 activation rounding through 3 packed layers: percent-level.
+        np.testing.assert_allclose(l_bf16, l_f32, rtol=3e-2)
+        # Gradients stay directionally consistent (loose: rounding occurs
+        # in both the primal streams and the cotangent streams).
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_f32),
+            jax.tree_util.tree_leaves(g_bf16),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-3)
+            np.testing.assert_allclose(
+                b, a, atol=0.08 * scale,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
