@@ -30,8 +30,15 @@ import numpy as np
 # CHUNK=1024 measured fastest at the bench scene (+7% over 512: per-chunk
 # fixed costs amortize; the packed streams freed the VMEM that made the
 # backward OOM at this chunk length in round 2; 2048 still fails to
-# compile). Must be set before importing gasfm_tpu.
+# compile — the FIRST unpacked layer's frontend backward exceeds the 16 MB
+# scoped-VMEM limit). Must be set before importing gasfm_tpu.
 os.environ.setdefault("GASFM_CHUNK", "1024")
+# bf16 storage for the packed inter-layer edge streams: the kernels are
+# STREAM-bound (BENCHLOG section 20), so halving the stream bytes is the
+# headline configuration (+4% measured; in-kernel math stays f32; the f32
+# default remains for bit-level reference parity — test_packed.py asserts
+# the bf16 path tracks f32 to rounding tolerance).
+os.environ.setdefault("GASFM_STREAM_DTYPE", "bf16")
 
 
 def _attainable_edges_per_s(
@@ -77,6 +84,33 @@ def _roofline_edges_per_s(n_layers: int, d_proj: int, hbm_gbps: float) -> float:
     bytes_per_edge_layer = d_proj * 4 * 8 * (1 + 2 * 1.5)
     total_bytes_per_edge = bytes_per_edge_layer * n_layers
     return hbm_gbps * 1e9 / total_bytes_per_edge
+
+
+def _measure_hbm_gbps() -> float:
+    """Measured achievable HBM bandwidth of THIS chip instance (read-only
+    sum over 256 MB inside one jitted scan — BENCHLOG section 20: the
+    virtualized 'v5 lite' runtime delivers ~215-250 GB/s at these working
+    sets, far below the 819 GB/s v5e spec the vs_baseline roofline
+    assumes). Used for the honest `vs_roofline_measured` field."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+
+    @jax.jit
+    def red(a):
+        def body(c, _):
+            return c + jnp.sum(a) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=10)
+        return c
+
+    float(red(x))
+    t0 = time.perf_counter()
+    float(red(x))
+    dt = (time.perf_counter() - t0) / 10
+    return 256 / 1024 / dt
 
 
 def main():
@@ -143,6 +177,12 @@ def main():
         n_layers=9, n_params=n_params, hbm_gbps=hbm,
     )
 
+    # Honest roofline against what THIS hardware instance actually delivers
+    # (the 819 GB/s spec denominator stays as vs_baseline for cross-round
+    # comparability; BENCHLOG section 20 records the discrepancy).
+    hbm_meas = _measure_hbm_gbps() if platform != "cpu" else hbm
+    roofline_meas = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm_meas)
+
     print(json.dumps({
         "metric": "gasfm_train_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -150,6 +190,8 @@ def main():
         "vs_baseline": round(edges_per_s / roofline, 4),
         "attainable_edges_per_s": round(attainable, 1),
         "vs_attainable": round(edges_per_s / attainable, 4),
+        "hbm_gbps_measured": round(hbm_meas, 1),
+        "vs_roofline_measured": round(edges_per_s / roofline_meas, 4),
     }))
 
 

@@ -43,12 +43,22 @@ def generate_synthetic_scene(
     principal: float = 500.0,
     radius: float = 6.0,
     arc_degrees: float = 120.0,
+    track_length_dist: str = "uniform",
+    powerlaw_alpha: float = 1.8,
 ) -> SceneData:
     """Cameras on an arc looking at a point cloud near the origin.
 
     Visibility per point is a contiguous window of views (track-like) with
     random dropout, constrained so every point has >= MIN_N_VIEWS_PER_POINT
     views and every view >= MIN_N_POINTS_PER_VIEW points.
+
+    ``track_length_dist``: "uniform" (default; window widths uniform in
+    [~visibility*m/2, m]) or "powerlaw" — track lengths follow a truncated
+    Pareto (most tracks 2-5 views, a heavy tail up to all views; no extra
+    dropout), matching real SfM scene statistics where short tracks
+    dominate (e.g. the CVPR'24 benchmark scenes' published shapes). The
+    power-law scene stresses the blocked layout's per-window padding and
+    locality assumptions — see scripts/powerlaw_bench.py.
     """
     rng = np.random.default_rng(seed)
     if scene_name is None:
@@ -78,15 +88,24 @@ def generate_synthetic_scene(
     if noise_px > 0:
         xs = xs + rng.normal(0.0, noise_px, size=xs.shape)
 
-    # Track-like visibility: contiguous window per point + dropout.
+    # Track-like visibility: contiguous window per point (+ dropout for the
+    # uniform distribution).
+    assert track_length_dist in ("uniform", "powerlaw")
     vis = np.zeros((n_views, n_points), dtype=bool)
     for j in range(n_points):
-        w = rng.integers(max(MIN_N_VIEWS_PER_POINT, int(visibility * n_views * 0.5)), n_views + 1)
+        if track_length_dist == "powerlaw":
+            w = MIN_N_VIEWS_PER_POINT + int(rng.pareto(powerlaw_alpha))
+            w = min(w, n_views)
+        else:
+            w = rng.integers(
+                max(MIN_N_VIEWS_PER_POINT, int(visibility * n_views * 0.5)), n_views + 1
+            )
         start = rng.integers(0, n_views - w + 1)
         window = np.zeros(n_views, dtype=bool)
         window[start : start + w] = True
-        drop = rng.random(n_views) > visibility
-        window &= ~drop
+        if track_length_dist == "uniform":
+            drop = rng.random(n_views) > visibility
+            window &= ~drop
         if window.sum() < MIN_N_VIEWS_PER_POINT:
             idx = rng.choice(np.arange(start, start + w), size=MIN_N_VIEWS_PER_POINT, replace=False)
             window[:] = False

@@ -230,7 +230,18 @@ class GATv2SegmentConv(nn.Module):
             row_mask = seg_ids == 0
             if edge_mask is not None:
                 row_mask = jnp.logical_and(row_mask, edge_mask)
-            out = gatv2_attend_pool(xl, xr, self.att, row_mask)
+            from gasfm_tpu.ops.segment import current_edge_axis, is_table_sharded
+
+            axis = current_edge_axis()
+            if axis is not None and is_table_sharded():
+                # Table-sharded pool: the caller already restricted
+                # edge_mask to this shard's OWNED rows; combine the softmax
+                # triples across shards (O(H*C) collective volume).
+                from gasfm_tpu.ops.gatv2 import gatv2_attend_pool_sharded
+
+                out = gatv2_attend_pool_sharded(xl, xr, self.att, row_mask, axis)
+            else:
+                out = gatv2_attend_pool(xl, xr, self.att, row_mask)
         else:
             out = gatv2_attend(
                 xl, xr, self.att, seg_ids, num_segments,
@@ -396,20 +407,37 @@ class ViewAndScenePoint2Global(nn.Module):
         view_seg = jnp.where(cam_valid, 0, 1).astype(jnp.int32)
         pt_seg = jnp.where(pt_valid, 0, 1).astype(jnp.int32)
 
-        # These pools reduce over *replicated* per-view/per-point tables, so
-        # edge-axis collectives must be disabled (every edge shard computes
-        # the identical full reduction).
-        from gasfm_tpu.ops.segment import edge_replicated
+        # The VIEW pool reduces over the replicated camera-side table, so
+        # edge-axis collectives are disabled (every edge shard computes the
+        # identical full reduction). The POINT pool: likewise when tables
+        # are replicated; under TABLE SHARDING each shard pools only its
+        # OWNED point rows and the triples combine across shards.
+        from gasfm_tpu.ops.segment import (
+            edge_replicated,
+            is_table_sharded,
+            table_shard_owned,
+        )
 
         with edge_replicated():
             view_pooled = GATv2SegmentConv(
                 self.n_feat_view_in, v2g // self.n_heads, self.n_heads,
                 name="graph_conv_view2global",
             )(view_features, view_seg, 1, query=q_view, edge_mask=cam_valid)  # (1, v2g)
-            pt_pooled = GATv2SegmentConv(
-                self.n_feat_scenepoint_in, s2g // self.n_heads, self.n_heads,
-                name="graph_conv_scenepoint2global",
-            )(scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid)  # (1, s2g)
+        pt_conv = GATv2SegmentConv(
+            self.n_feat_scenepoint_in, s2g // self.n_heads, self.n_heads,
+            name="graph_conv_scenepoint2global",
+        )
+        if is_table_sharded():
+            owned = table_shard_owned()
+            pt_pooled = pt_conv(
+                scenepoint_features, pt_seg, 1, query=q_pt,
+                edge_mask=jnp.logical_and(pt_valid, owned),
+            )  # (1, s2g)
+        else:
+            with edge_replicated():
+                pt_pooled = pt_conv(
+                    scenepoint_features, pt_seg, 1, query=q_pt, edge_mask=pt_valid
+                )  # (1, s2g)
 
         x = jnp.concatenate([view_pooled, pt_pooled], axis=1)
         if (v2g + s2g) != self.n_feat_global_out:

@@ -75,6 +75,37 @@ def gatv2_attend_pool(
     return (num / den[:, None])[None]  # (1, H, C)
 
 
+def gatv2_attend_pool_sharded(
+    xl: jnp.ndarray,  # (E, H, C) local table rows' transformed features
+    xr0: jnp.ndarray,  # (1, H, C)
+    att: jnp.ndarray,  # (H, C)
+    row_mask: jnp.ndarray,  # (E,) valid AND owned-by-this-shard rows
+    axis: str,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Table-sharded variant of :func:`gatv2_attend_pool`: each shard pools
+    its OWNED table rows and the per-head softmax triples (max, exp-sum,
+    weighted sum) combine across the edge axis — O(H*C) collective volume
+    instead of pooling a replicated full table. Gradients follow the
+    interior transpose rule (all_sum psums the partial cotangents)."""
+    from gasfm_tpu.ops.segment import all_sum
+
+    E, H, C = xl.shape
+    g = xl + xr0.reshape(1, H, C)
+    g = jnp.where(g >= 0, g, negative_slope * g)
+    logits = jnp.sum(g * att[None, :, :], axis=-1)  # (E, H)
+    logits = jnp.where(row_mask[:, None], logits, -jnp.inf)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=0))
+    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+    m = jax.lax.stop_gradient(jax.lax.pmax(m, axis))  # global shift
+    p = jnp.exp(logits - m[None, :])
+    p = jnp.where(row_mask[:, None], p, jnp.zeros_like(p))
+    den = all_sum(jnp.sum(p, axis=0))  # (H,) global
+    num = all_sum(jnp.einsum("eh,ehc->hc", p, xl))  # (H, C) global
+    den = jnp.where(den > 0, den, jnp.ones_like(den))
+    return (num / den[:, None])[None]
+
+
 def gatv2_attend(
     xl: jnp.ndarray,  # (E, H, C) transformed source features
     xr: jnp.ndarray,  # (S, H, C) transformed per-segment query features

@@ -73,6 +73,152 @@ def _expand_heads(a: jnp.ndarray, H: int, C: int) -> jnp.ndarray:
     return jnp.repeat(out, C, axis=1) if C > 1 else out
 
 
+def _merge_softmax_rows(num_a, m_a, den_a, num_b, m_b, den_b, H, C):
+    """Exact merge of two online-softmax partial triples for the same rows.
+
+    num: (W, H*C); m/den: (W, H). The neutral element is
+    (num=0, m=_NEG, den=0), so merging a neutral contribution is a no-op —
+    callers exploit this to make non-matching boundary exchanges vanish.
+    """
+    m = jnp.maximum(m_a, m_b)
+    ca = jnp.exp(m_a - m)
+    cb = jnp.exp(m_b - m)
+    den = den_a * ca + den_b * cb
+    num = num_a * _expand_heads(ca.T, H, C) + num_b * _expand_heads(cb.T, H, C)
+    return num, m, den
+
+
+def exchange_boundary_windows(num, md, HP, H, C, edge_axis, wb, W):
+    """Sub-linear cross-shard combine for the windowed (point) direction
+    under TABLE SHARDING (SURVEY section 5's boundary exchange; the
+    round-2/3 verdicts' deferred design).
+
+    In the blocked point-major layout each edge shard's chunks touch a
+    CONTIGUOUS window range [wb[0], wb[-1]], and a window is shared by AT
+    MOST the two neighboring shards when every window's chunk run fits in
+    one shard slice (the span<=2 contract, checked host-side by
+    parallel.check_table_shard_contract). Instead of psum/pmax over the
+    FULL (s_pad, D) tables (volume = table size, shard-count independent —
+    the replication floor of BENCHLOG section 16), each shard exchanges
+    ONLY its first/last window's partial triple with its two neighbors
+    over ICI ppermutes: per-shard volume is O(W * (D + 2H)) per direction
+    per layer, INDEPENDENT of the table size.
+
+    After the exchange every locally-TOUCHED window holds the exact global
+    (num, m, den); untouched windows keep their local (neutral) values and
+    are masked by the caller's visited mask. Non-matching arrivals (the
+    neighbor does not share the window, or the ring wraps) are neutralized
+    by an id-match mask before the merge.
+    """
+    s_pad = num.shape[0]
+    m_loc = md[0:HP].T  # (s_pad, HP) row-major views for dynamic slicing
+    den_loc = md[HP : 2 * HP].T
+    idx = jax.lax.axis_index(edge_axis)
+    n_shards = jax.lax.axis_size(edge_axis)
+    first_w = wb[0]
+    last_w = wb[-1]
+
+    def window_rows(w):
+        off = w * W
+        return (
+            jax.lax.dynamic_slice_in_dim(num, off, W, 0),
+            jax.lax.dynamic_slice_in_dim(m_loc, off, W, 0),
+            jax.lax.dynamic_slice_in_dim(den_loc, off, W, 0),
+        )
+
+    # Send my FIRST window's partial to the LEFT neighbor, my LAST to the
+    # RIGHT (ring ppermute; wrap arrivals neutralized below).
+    send_left = window_rows(first_w) + (first_w,)
+    send_right = window_rows(last_w) + (last_w,)
+    left_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    right_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    from_right = tuple(
+        jax.lax.ppermute(x, edge_axis, left_perm) for x in send_left
+    )  # right neighbor's FIRST window
+    from_left = tuple(
+        jax.lax.ppermute(x, edge_axis, right_perm) for x in send_right
+    )  # left neighbor's LAST window
+
+    def neutralize(rows, rid, ok):
+        nz, mz, dz = rows
+        return (
+            jnp.where(ok, nz, 0.0),
+            jnp.where(ok, mz, _NEG),
+            jnp.where(ok, dz, 0.0),
+        )
+
+    # Left arrival merges into MY FIRST window iff ids match and I am not
+    # shard 0 (ring wrap); right arrival into MY LAST window likewise.
+    ok_l = jnp.logical_and(idx > 0, from_left[3] == first_w)
+    ok_r = jnp.logical_and(idx < n_shards - 1, from_right[3] == last_w)
+    recv_l = neutralize(from_left[:3], from_left[3], ok_l)
+    recv_r = neutralize(from_right[:3], from_right[3], ok_r)
+
+    def merge_at(num, m_loc, den_loc, w, recv):
+        off = w * W
+        mine = (
+            jax.lax.dynamic_slice_in_dim(num, off, W, 0),
+            jax.lax.dynamic_slice_in_dim(m_loc, off, W, 0),
+            jax.lax.dynamic_slice_in_dim(den_loc, off, W, 0),
+        )
+        nm, mm, dm = _merge_softmax_rows(*mine, *recv, H, C)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(num, nm, off, 0),
+            jax.lax.dynamic_update_slice_in_dim(m_loc, mm, off, 0),
+            jax.lax.dynamic_update_slice_in_dim(den_loc, dm, off, 0),
+        )
+
+    num, m_loc, den_loc = merge_at(num, m_loc, den_loc, first_w, recv_l)
+    # When first_w == last_w (single-window shard) both arrivals target the
+    # same rows; sequential merges compose exactly (the merge is associative).
+    num, m_loc, den_loc = merge_at(num, m_loc, den_loc, last_w, recv_r)
+
+    # Untouched windows hold uninitialized kernel memory: select them to
+    # neutral values so no NaN/Inf leaks into downstream table ops (their
+    # rows are never CONSUMED on this shard, but 0 * NaN would poison the
+    # point->global pool's masked matmul).
+    win = jax.lax.broadcasted_iota(jnp.int32, (s_pad // W,), 0)
+    touched = jnp.repeat(
+        jnp.logical_and(win >= first_w, win <= last_w), W
+    )[:, None]
+    inv = jnp.where(den_loc > 0, 1.0 / jnp.maximum(den_loc, 1e-38), 0.0)
+    out_full = jnp.where(touched, num * _expand_heads(inv.T, H, C), 0.0)
+    m_loc = jnp.where(touched, m_loc, _NEG)
+    den_loc = jnp.where(touched, den_loc, 0.0)
+    md_g = jnp.concatenate([m_loc.T, den_loc.T], axis=0)  # (2*HP, s_pad)
+    return out_full, md_g
+
+
+def exchange_boundary_add(g, edge_axis, wb, W):
+    """Transpose-side boundary exchange: plain SUM of the neighbors'
+    cotangent contributions for the shared first/last windows (the
+    table-sharded replacement for the backward-entry full-table psum of the
+    interior transpose rule, ops/segment.py)."""
+    idx = jax.lax.axis_index(edge_axis)
+    n_shards = jax.lax.axis_size(edge_axis)
+    first_w = wb[0]
+    last_w = wb[-1]
+
+    def rows(w):
+        return jax.lax.dynamic_slice_in_dim(g, w * W, W, 0)
+
+    left_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    right_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    fr_rows = jax.lax.ppermute(rows(first_w), edge_axis, left_perm)
+    fr_id = jax.lax.ppermute(first_w, edge_axis, left_perm)
+    fl_rows = jax.lax.ppermute(rows(last_w), edge_axis, right_perm)
+    fl_id = jax.lax.ppermute(last_w, edge_axis, right_perm)
+    ok_l = jnp.logical_and(idx > 0, fl_id == first_w)
+    ok_r = jnp.logical_and(idx < n_shards - 1, fr_id == last_w)
+    g = jax.lax.dynamic_update_slice_in_dim(
+        g, rows(first_w) + jnp.where(ok_l, fl_rows, 0.0), first_w * W, 0
+    )
+    g = jax.lax.dynamic_update_slice_in_dim(
+        g, rows(last_w) + jnp.where(ok_r, fr_rows, 0.0), last_w * W, 0
+    )
+    return g
+
+
 def combine_attention_shards(num, md, HP, H, C, edge_axis, wb=None, W=None):
     """Cross-shard finalization of the online-softmax attention partials.
 
@@ -392,7 +538,7 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
 # ---------------------------------------------------------------------------
 
 
-def make_fused_attend(H: int, mm: str = "f32"):
+def make_fused_attend(H: int, mm: str = "f32", table_sharded: bool = False):
     """Build the custom-VJP fused attention entry point for `H` heads at
     matmul precision `mm` ("f32" | "bf16", see ops/segment.py).
 
@@ -429,9 +575,14 @@ def make_fused_attend(H: int, mm: str = "f32"):
         )
         if edge_axis is not None:
             HP = _round_up(max(H, 1), 8)
-            out_full, md = combine_attention_shards(
-                out_full, md, HP, H, xl2.shape[1] // H, edge_axis, wb=wb, W=W
-            )
+            if table_sharded:
+                out_full, md = exchange_boundary_windows(
+                    out_full, md, HP, H, xl2.shape[1] // H, edge_axis, wb, W
+                )
+            else:
+                out_full, md = combine_attention_shards(
+                    out_full, md, HP, H, xl2.shape[1] // H, edge_axis, wb=wb, W=W
+                )
         return out_full[:num_segments], (xl2, xr_p, att_row, ids2d, wb, out_full, md)
 
     def _fwd(xl2, xr2, att_row, ids2d, wb, num_segments, W, slope, interpret,
@@ -443,9 +594,14 @@ def make_fused_attend(H: int, mm: str = "f32"):
     def _bwd(num_segments, W, slope, interpret, edge_axis, res, g):
         xl2, xr_p, att_row, ids2d, wb, out_full, md = res
         s_pad = xr_p.shape[0]
-        if edge_axis is not None:
-            g = jax.lax.psum(g, edge_axis)  # partial -> full table cotangent
         g_p = jnp.pad(g, ((0, s_pad - g.shape[0]), (0, 0)))
+        if edge_axis is not None:
+            # partial -> full table cotangent (interior transpose rule);
+            # table-sharded windowed direction: boundary exchange.
+            if table_sharded:
+                g_p = exchange_boundary_add(g_p, edge_axis, wb, W)
+            else:
+                g_p = jax.lax.psum(g_p, edge_axis)
         dxl, dxr_full, datt8 = _fused_attn_bwd_raw(
             xl2, xr_p, att_row, ids2d, wb, md, out_full, g_p, W, H, slope,
             mm=mm, interpret=interpret,

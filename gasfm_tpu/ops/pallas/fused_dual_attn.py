@@ -46,7 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
-from gasfm_tpu.ops.pallas.fused_attn import combine_attention_shards
+from gasfm_tpu.ops.pallas.fused_attn import (
+    combine_attention_shards,
+    exchange_boundary_add,
+    exchange_boundary_windows,
+)
 from gasfm_tpu.ops.pallas.packing import PACK, repack_tile, unpack_tile
 
 _NEG = -1e30
@@ -590,7 +594,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
 # ---------------------------------------------------------------------------
 
 
-def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
+def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32",
+                           table_sharded: bool = False):
     """Custom-VJP dual attention for (Hp point heads, Hc camera heads).
 
     ``edge_axis``: mesh axis name under edge partitioning (None single-shard).
@@ -624,9 +629,17 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
-            outp, mdp = combine_attention_shards(
-                outp, mdp, HP, Hp, xl_p.shape[1] // Hp, edge_axis, wb=wb, W=W
-            )
+            if table_sharded:
+                # Sub-linear boundary exchange for the point direction
+                # (camera tables below stay fully combined — they are small
+                # and every shard's edges touch them).
+                outp, mdp = exchange_boundary_windows(
+                    outp, mdp, HP, Hp, xl_p.shape[1] // Hp, edge_axis, wb, W
+                )
+            else:
+                outp, mdp = combine_attention_shards(
+                    outp, mdp, HP, Hp, xl_p.shape[1] // Hp, edge_axis, wb=wb, W=W
+                )
             # Camera heads live in md columns Hp..Hp+Hc-1; roll them to the
             # front so the combiner's [:H] slice picks the right rows.
             mdc_r = jnp.concatenate([
@@ -654,17 +667,21 @@ def make_fused_dual_attend(Hp: int, Hc: int, mm: str = "f32"):
         gp_out, gc_out = g
         (xl_p, xl_c, xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb,
          nlive, outp, outc, mdp, mdc) = res
-        if edge_axis is not None:
-            # Interior transpose rule (ops/segment.py): the output tables
-            # are consumed by EVERY shard's downstream edges, so the
-            # per-shard partial cotangents must be psummed to the full
-            # table cotangent before computing edge-side cotangents.
-            gp_out = jax.lax.psum(gp_out, edge_axis)
-            gc_out = jax.lax.psum(gc_out, edge_axis)
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
             gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))
         )
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py): the output tables
+            # are consumed by downstream edges, so the per-shard partial
+            # cotangents must be completed before computing edge-side
+            # cotangents. Table-sharded: only the two neighbors touch my
+            # windows, so a boundary exchange replaces the full-table psum.
+            if table_sharded:
+                gp = exchange_boundary_add(gp, edge_axis, wb, W)
+            else:
+                gp = jax.lax.psum(gp, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
             gc_out, ((0, Wc - gc_out.shape[0]), (0, 0))
         )
@@ -710,7 +727,9 @@ def fused_dual_attend(Hp, Hc, xl_p, xl_c, xr_p, xr_c, att_p, att_c,
     """
     from gasfm_tpu.ops.segment import get_kernel_precision
 
-    key = (Hp, Hc, get_kernel_precision())
+    from gasfm_tpu.ops.segment import is_table_sharded
+
+    key = (Hp, Hc, get_kernel_precision(), is_table_sharded())
     fn = _DUAL_CACHE.get(key)
     if fn is None:
         fn = make_fused_dual_attend(*key)
@@ -1323,7 +1342,7 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
 
 
 def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
-                        packed: bool = False):
+                        packed: bool = False, table_sharded: bool = False):
     """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
     attention). Differentiable in (e, ln scale/bias, both source
     kernels/biases, both attention vectors, both query tables).
@@ -1362,9 +1381,14 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
-            outp, mdp = combine_attention_shards(
-                outp, mdp, HP, Hp, wlp.shape[1] // Hp, edge_axis, wb=wb, W=W
-            )
+            if table_sharded:
+                outp, mdp = exchange_boundary_windows(
+                    outp, mdp, HP, Hp, wlp.shape[1] // Hp, edge_axis, wb, W
+                )
+            else:
+                outp, mdp = combine_attention_shards(
+                    outp, mdp, HP, Hp, wlp.shape[1] // Hp, edge_axis, wb=wb, W=W
+                )
             mdc_r = jnp.concatenate([
                 mdc[Hp : Hp + Hc], mdc[HP + Hp : HP + Hp + Hc]
             ], axis=0)
@@ -1390,15 +1414,18 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
         gen, gp_out, gc_out = g
         (e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
          pids2d, cids2d, wb, nlive, outp, outc, mdp, mdc) = res
-        if edge_axis is not None:
-            # Interior transpose rule (ops/segment.py): psum the table
-            # cotangents (partial -> full); `gen` is per-edge (shard-local).
-            gp_out = jax.lax.psum(gp_out, edge_axis)
-            gc_out = jax.lax.psum(gc_out, edge_axis)
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
             gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0))
         )
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py); `gen` is per-edge
+            # (shard-local). Table-sharded point side: boundary exchange.
+            if table_sharded:
+                gp = exchange_boundary_add(gp, edge_axis, wb, W)
+            else:
+                gp = jax.lax.psum(gp, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
             gc_out, ((0, Wc - gc_out.shape[0]), (0, 0))
         )
@@ -1438,7 +1465,10 @@ def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
     """
     from gasfm_tpu.ops.segment import get_kernel_precision
 
-    key = (Hp, Hc, float(eps), get_kernel_precision(), packed)
+    from gasfm_tpu.ops.segment import is_table_sharded
+
+    key = (Hp, Hc, float(eps), get_kernel_precision(), packed,
+           is_table_sharded())
     fn = _FRONT_CACHE.get(key)
     if fn is None:
         fn = make_fused_frontend(*key)

@@ -41,7 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
-from gasfm_tpu.ops.pallas.fused_attn import combine_attention_shards
+from gasfm_tpu.ops.pallas.fused_attn import (
+    combine_attention_shards,
+    exchange_boundary_add,
+    exchange_boundary_windows,
+)
 from gasfm_tpu.ops.pallas.fused_dual_attn import (
     _dir_selector,
     _head_masks,
@@ -790,7 +794,8 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
 
 
 def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
-                          has_skip: bool, has_res: bool):
+                          has_skip: bool, has_res: bool,
+                          table_sharded: bool = False):
     """Custom-VJP merged layer step, statically specialized.
 
     Differentiable in every array argument; ids return None cotangents.
@@ -836,9 +841,14 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             HP = _round_up(Hp + Hc, 8)
             Dp = wlp.shape[1]
             Dc = wlc.shape[1]
-            outp, mdp = combine_attention_shards(
-                outp, mdp, HP, Hp, Dp // Hp, edge_axis, wb=wb, W=W
-            )
+            if table_sharded:
+                outp, mdp = exchange_boundary_windows(
+                    outp, mdp, HP, Hp, Dp // Hp, edge_axis, wb, W
+                )
+            else:
+                outp, mdp = combine_attention_shards(
+                    outp, mdp, HP, Hp, Dp // Hp, edge_axis, wb=wb, W=W
+                )
             mdc_r = jnp.concatenate([
                 mdc[Hp : Hp + Hc], mdc[HP + Hp : HP + Hp + Hc]
             ], axis=0)
@@ -867,16 +877,20 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         (en_p, skip2_p, el_p, w_e, w_uv, lng, lnb, wlp, blp, wlc, blc,
          xr_p_pad, xr_c_pad, att_p, att_c, pids2d, cids2d, wb, nlive,
          outp, outc, mdp, mdc) = res
-        if edge_axis is not None:
-            # Interior transpose rule (ops/segment.py): psum the table
-            # cotangents (partial -> full); gel_p/gen_p are per-edge
-            # (shard-local) and stay as they are.
-            gp_out = jax.lax.psum(gp_out, edge_axis)
-            gc_out = jax.lax.psum(gc_out, edge_axis)
         De = w_e.shape[1]
         s_pad = xr_p_pad.shape[0]
         gp = gp_out if gp_out.shape[0] == s_pad else jnp.pad(
             gp_out, ((0, s_pad - gp_out.shape[0]), (0, 0)))
+        if edge_axis is not None:
+            # Interior transpose rule (ops/segment.py): complete the table
+            # cotangents (partial -> full); gel_p/gen_p are per-edge
+            # (shard-local) and stay as they are. Table-sharded point side:
+            # boundary exchange instead of the full-table psum.
+            if table_sharded:
+                gp = exchange_boundary_add(gp, edge_axis, wb, W)
+            else:
+                gp = jax.lax.psum(gp, edge_axis)
+            gc_out = jax.lax.psum(gc_out, edge_axis)
         gc = gc_out if gc_out.shape[0] == Wc else jnp.pad(
             gc_out, ((0, Wc - gc_out.shape[0]), (0, 0)))
         we_bd = blockdiag(w_e)
@@ -947,8 +961,10 @@ def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
     """
     from gasfm_tpu.ops.segment import get_kernel_precision
 
+    from gasfm_tpu.ops.segment import is_table_sharded
+
     key = (Hp, Hc, float(eps), get_kernel_precision(),
-           skip2_p is not None, res_p is not None)
+           skip2_p is not None, res_p is not None, is_table_sharded())
     fn = _CACHE.get(key)
     if fn is None:
         fn = make_fused_layer_step(*key)

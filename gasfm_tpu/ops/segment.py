@@ -145,6 +145,38 @@ def current_edge_axis() -> Optional[str]:
     return _EDGE_AXIS.get()
 
 
+#: Table-sharding context (SURVEY section 5's boundary exchange): when set,
+#: the POINT-side attention combines exchange only the first/last window
+#: partials with neighbor shards (ops/pallas/fused_attn.
+#: exchange_boundary_windows) instead of psumming full tables, the
+#: point->global pool reduces owned rows per shard and combines its softmax
+#: triple across shards, and outputs gathering the full point table pay ONE
+#: masked psum per step. Holds the (N,) bool OWNED-rows mask computed per
+#: shard by parallel.edge_sharding.compute_owned_points. Camera-side tables
+#: stay replicated (they are small and every shard's edges touch them).
+_TABLE_SHARD_OWNED: contextvars.ContextVar[Optional[jnp.ndarray]] = (
+    contextvars.ContextVar("gasfm_table_shard_owned", default=None)
+)
+
+
+@contextlib.contextmanager
+def table_sharded(owned_pts: jnp.ndarray):
+    token = _TABLE_SHARD_OWNED.set(owned_pts)
+    try:
+        yield
+    finally:
+        _TABLE_SHARD_OWNED.reset(token)
+
+
+def table_shard_owned() -> Optional[jnp.ndarray]:
+    """The owned point-row mask, or None when table sharding is off."""
+    return _TABLE_SHARD_OWNED.get()
+
+
+def is_table_sharded() -> bool:
+    return _TABLE_SHARD_OWNED.get() is not None
+
+
 @contextlib.contextmanager
 def edge_replicated():
     """Temporarily disable edge-axis collectives: for reductions over

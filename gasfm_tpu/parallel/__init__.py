@@ -8,6 +8,8 @@ from gasfm_tpu.parallel.edge_sharding import (
     EDGE_AXIS,
     initialize_distributed,
     make_mesh,
+    check_table_shard_contract,
+    compute_owned_points,
     make_sharded_forward,
     make_sharded_fused_step,
     make_sharded_grad_step,
@@ -23,6 +25,8 @@ __all__ = [
     "EDGE_AXIS",
     "initialize_distributed",
     "make_mesh",
+    "check_table_shard_contract",
+    "compute_owned_points",
     "make_sharded_forward",
     "make_sharded_fused_step",
     "make_sharded_grad_step",

@@ -26,6 +26,7 @@ asserted by tests/test_parallel.py on a virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import List, Optional, Tuple
 
@@ -37,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gasfm_tpu.graph.view_graph import SceneGraph, ViewGraph
 from gasfm_tpu.losses import get_loss_func
-from gasfm_tpu.ops.segment import edge_partitioned
+from gasfm_tpu.ops.segment import edge_partitioned, table_sharded
 from gasfm_tpu.train.state import build_optimizer
 
 DATA_AXIS = "data"
@@ -72,6 +73,75 @@ def check_edge_shard_contract(num_edges: int, mesh: Mesh) -> None:
             f"number of CHUNKs (pin caps via GraphBucketizer / "
             f"blocked_edge_count, edge_multiple={n_edge * CHUNK})"
         )
+
+
+def compute_owned_points(graph: ViewGraph, axis: str) -> jnp.ndarray:
+    """Per-shard OWNED point-row mask for table sharding (inside shard_map).
+
+    Each edge shard's chunks touch a contiguous window range
+    [wb[0], wb[-1]]; a boundary window shared with the LEFT neighbor is
+    owned by that neighbor (lower shard index owns shared windows), so
+    every valid point row is owned by exactly one shard. Costs one scalar
+    ppermute. Used by the point->global pool (each shard pools its owned
+    rows, triples combine across shards) and by the masked psum that
+    assembles full-table outputs (pts3D) once per step.
+    """
+    from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+
+    wb = graph.pt_window.reshape(-1, CHUNK)[:, 0]
+    first_w, last_w = wb[0], wb[-1]
+    idx = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    right_perm = [(i, (i + 1) % n) for i in range(n)]
+    left_last = jax.lax.ppermute(last_w, axis, right_perm)
+    shared_left = jnp.logical_and(idx > 0, left_last == first_w)
+    n_blocks = graph.pt_block_visited.shape[0]
+    win = jnp.arange(n_blocks, dtype=jnp.int32)
+    touched = jnp.logical_and(win >= first_w, win <= last_w)
+    owned_w = jnp.logical_and(
+        touched, jnp.logical_not(jnp.logical_and(win == first_w, shared_left))
+    )
+    return jnp.repeat(owned_w, WINDOW)[: graph.num_pts]
+
+
+def check_table_shard_contract(
+    pt_window: np.ndarray, n_edge: int, edge_mask: Optional[np.ndarray] = None
+) -> None:
+    """Host-side span<=2 contract of the boundary exchange
+    (ops/pallas/fused_attn.exchange_boundary_windows): every point window's
+    LIVE chunk run may touch at most two NEIGHBORING shard slices.
+    Violations would silently drop softmax contributions from non-adjacent
+    shards — fail loudly instead. Trailing all-padding chunks (which repeat
+    the last window id but contribute neutral partials) are excluded when
+    ``edge_mask`` is given.
+    """
+    from gasfm_tpu.graph.view_graph import CHUNK
+
+    pt_window = np.asarray(pt_window)
+    if n_edge <= 1:
+        return
+    wb = pt_window[::CHUNK]
+    n_chunks = wb.shape[0]
+    chunks_per_shard = n_chunks // n_edge
+    if edge_mask is not None:
+        live = np.asarray(edge_mask).reshape(n_chunks, CHUNK).any(axis=1)
+        nlive = int(live.sum())  # live chunks form a prefix of the layout
+    else:
+        nlive = n_chunks
+    wb = wb[:nlive]
+    chunk_idx = np.arange(nlive)
+    shard_of = chunk_idx // chunks_per_shard
+    for w in np.unique(wb):
+        sel = shard_of[wb == w]
+        span = int(sel.max() - sel.min() + 1)
+        if span > 2:
+            raise ValueError(
+                f"table sharding span<=2 contract violated: point window "
+                f"{int(w)}'s live chunk run touches {span} shard slices "
+                f"({chunks_per_shard} chunks/shard over {n_edge} shards); "
+                f"the boundary exchange only reaches neighbor shards. Use "
+                f"fewer edge shards or a larger scene."
+            )
 
 
 def make_mesh(n_edge: int, n_data: int = 1, devices=None) -> Mesh:
@@ -188,6 +258,31 @@ def pad_scene_group(
     return stack_scene_graphs(padded), weights
 
 
+def _table_shard_ctx(conf, graph):
+    """Enter the table-sharding context (owned-point mask) when
+    ``parallel.table_sharding`` is on; no-op context otherwise."""
+    if conf.get_bool("parallel.table_sharding", default=False):
+        return table_sharded(compute_owned_points(graph, EDGE_AXIS))
+    return contextlib.nullcontext()
+
+
+def _combine_table_outputs(conf, pred):
+    """Under table sharding, point-table outputs (pts3D) are exact only on
+    each shard's touched windows; ONE masked psum per step assembles the
+    full table for consumers outside the step (host metrics, eval). Camera
+    tables (Ps_norm) and per-edge outputs are already consistent."""
+    from gasfm_tpu.ops.segment import table_shard_owned
+
+    own = table_shard_owned()
+    if own is None or "pts3D" not in pred:
+        return pred
+    pred = dict(pred)
+    pred["pts3D"] = jax.lax.psum(
+        jnp.where(own[None, :], pred["pts3D"], 0.0), EDGE_AXIS
+    )
+    return pred
+
+
 def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
     """The production multi-chip train step (drop-in for the single-chip
     ``TrainingSession`` fused step).
@@ -215,7 +310,7 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
     def per_device(params, opt_state, scene, weight):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
         w = weight[0]
-        with edge_partitioned(EDGE_AXIS):
+        with edge_partitioned(EDGE_AXIS), _table_shard_ctx(conf, scene.graph):
             def loss_fn(p):
                 pred = model.apply(p, scene.graph)
                 return loss_func(pred, scene) * w, pred
@@ -270,13 +365,14 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
     def per_device(params, scene, weight):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
         w = weight[0]
-        with edge_partitioned(EDGE_AXIS):
+        with edge_partitioned(EDGE_AXIS), _table_shard_ctx(conf, scene.graph):
             def loss_fn(p):
                 pred = model.apply(p, scene.graph)
                 return loss_func(pred, scene) * w, pred
 
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             repro = core_errors_device(pred, scene)["our_repro"] * w
+            pred = _combine_table_outputs(conf, pred)
         loss = jax.lax.psum(loss, DATA_AXIS)
         repro = jax.lax.psum(repro, DATA_AXIS)
         grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
@@ -331,7 +427,7 @@ def make_sharded_train_step(conf, model, mesh: Mesh):
     def per_device(params, opt_state, scene):
         # Local batch is 1 (one scene per data-group); drop the batch dim.
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
-        with edge_partitioned(EDGE_AXIS):
+        with edge_partitioned(EDGE_AXIS), _table_shard_ctx(conf, scene.graph):
             def loss_fn(p):
                 pred = model.apply(p, scene.graph)
                 return loss_func(pred, scene)
@@ -374,8 +470,9 @@ def make_sharded_forward(conf, model, mesh: Mesh, grouped: bool = False):
 
     def per_device(params, scene):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
-        with edge_partitioned(EDGE_AXIS):
+        with edge_partitioned(EDGE_AXIS), _table_shard_ctx(conf, scene.graph):
             pred = model.apply(params, scene.graph)
+            pred = _combine_table_outputs(conf, pred)
         # Per-edge outputs (depth head) stay sharded; table outputs replicated
         # over the edge axis.
         if grouped:

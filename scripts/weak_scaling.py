@@ -69,6 +69,37 @@ def _collective_bytes_per_step(conf, scene, n_params: int) -> int:
     return 4 * (per_dual * n_attn + n_params)
 
 
+def _collective_bytes_table_sharded(conf, scene, n_params: int) -> int:
+    """Logical bytes exchanged per shard per step under TABLE SHARDING
+    (parallel.table_sharding): the point direction exchanges only the
+    first/last WINDOW\'s softmax triple with its two neighbors per layer
+    (forward) plus the boundary cotangent rows (backward); the camera-side
+    tables stay fully combined (small, scene-size independent at fixed view
+    count); the point->global pool combines one (H, C)+(H,) triple; pts3D
+    is assembled by ONE masked psum per step. Per-layer point-side volume
+    is O(WINDOW * D) — INDEPENDENT of the table size — so per-shard MB/step
+    stays ~CONSTANT as the scene (and mesh) grows, vs the replicated
+    combine\'s full-table volume growing linearly with it.
+    """
+    from gasfm_tpu.graph.view_graph import WINDOW
+
+    g = scene.graph
+    Hp = Hc = conf.get_int("model.n_heads")
+    HP = -(-(Hp + Hc) // 8) * 8
+    Dp = conf.get_int("model.n_feat_proj")
+    Dc = Dp
+    Wc = max(((g.num_cams + 127) // 128) * 128, 128)
+    n_attn = conf.get_int("model.num_layers") + 1
+    # fwd: 2 sends x (num + m + den + id) rows; bwd: 2 sends of cotangent rows.
+    pt_fwd = 2 * (WINDOW * Dp + 2 * WINDOW * HP + 1)
+    pt_bwd = 2 * (WINDOW * Dp)
+    cam = (Wc * Dc + 2 * HP * Wc) + (Wc * Dc)  # fwd psum + bwd psum
+    pool = 2 * (Hp * (Dp // max(Hp, 1)) + Hp)  # point pool triple (fwd+bwd)
+    per_layer = pt_fwd + pt_bwd + cam + pool
+    pts3d_out = 4 * g.num_pts  # ONE masked psum per step
+    return 4 * (per_layer * n_attn + pts3d_out + n_params)
+
+
 def main():
     import contextlib
 
@@ -84,6 +115,15 @@ def main():
         # so every kernel finalizes locally and no attention combine runs
         # (numerics wrong, cost model right: identical local compute).
         yield
+
+    import os as _os
+
+    table_sharding = _os.environ.get("WEAK_SCALING_TABLE_SHARD", "0") == "1"
+    if table_sharding:
+        conf.put("parallel.table_sharding", True)
+        print("MODE: table sharding (boundary exchange)", flush=True)
+    else:
+        print("MODE: replicated tables (full-table combine)", flush=True)
 
     base = None
     base_nc = None
@@ -153,7 +193,11 @@ def main():
             base_nc = t_chunk_nc
         eff = base / t_chunk
         eff_nc = base_nc / t_chunk_nc
-        cbytes = _collective_bytes_per_step(conf, scene, n_params)
+        cbytes = (
+            _collective_bytes_table_sharded(conf, scene, n_params)
+            if table_sharding
+            else _collective_bytes_per_step(conf, scene, n_params)
+        )
         print(f"n_edge={n_edge}  E={edges:6d} (cap {e_cap:6d})  "
               f"step={dt*1e3:8.2f} ms  no-coll={dt_nc*1e3:8.2f} ms  "
               f"combine={max(dt-dt_nc,0)*1e3:7.2f} ms  "

@@ -480,6 +480,51 @@ class TestGroupedMeshEval:
                 rtol=2e-3, atol=1e-4, err_msg=col,
             )
 
+    def test_grouped_eval_mixed_capacities(self):
+        """Scenes of DIFFERENT sizes must group (bucket-padded to the
+        group maximum — round-3 verdict item 7) instead of silently
+        falling back to one scene replicated per call."""
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.train.loop import TrainingSession, epoch_evaluation
+        from gasfm_tpu.utils.phases import Phases
+
+        # Three sizes -> three distinct capacity buckets.
+        scenes_data = [
+            generate_synthetic_scene(n_views=6, n_points=48, seed=0, scene_name="small"),
+            generate_synthetic_scene(n_views=10, n_points=300, seed=1, scene_name="large"),
+            generate_synthetic_scene(n_views=8, n_points=120, seed=2, scene_name="mid"),
+        ]
+        conf_single = ConfigFactory.parse_string(CONF)
+        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 4] }\n")
+
+        model = get_model(conf_single)
+        session_s = TrainingSession(conf_single, model)
+        graph0 = session_s.bucketize(scenes_data[0]).graph
+        params = model.init(jax.random.PRNGKey(3), graph0)
+        caps = {session_s.bucketize(d).graph.num_edges for d in scenes_data}
+        assert len(caps) >= 2, "scene sizes must land in different buckets"
+
+        def run(conf, session):
+            loader = SceneLoader(ScenesDataSet(scenes_data, return_all=True),
+                                 batch_size=2, prefetch=0)
+            return epoch_evaluation(
+                loader, session, params, conf, -1, Phases.OPTIMIZATION,
+                bundle_adjustment=False, crash_on_scene_exhausting_memory=True,
+            )
+
+        df_single = run(conf_single, session_s)
+        session_m = TrainingSession(conf_mesh, get_model(conf_mesh))
+        df_mesh = run(conf_mesh, session_m)
+
+        assert list(df_single.index) == list(df_mesh.index)
+        for col in ("our_repro", "t_err_mean", "R_err_mean"):
+            np.testing.assert_allclose(
+                df_mesh[col].to_numpy(dtype=float),
+                df_single[col].to_numpy(dtype=float),
+                rtol=2e-3, atol=1e-4, err_msg=col,
+            )
+
 
 class TestPackedMergedUnderSharding:
     """The PACKED + MERGED kernel path (packing.py / fused_layer_step.py)
@@ -617,3 +662,114 @@ class TestSubChunkShardGradients:
                 b, a, atol=2e-5 * scale, rtol=1e-3,
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
+
+
+class TestTableSharding:
+    """Sub-linear boundary exchange (parallel.table_sharding): point-side
+    attention combines exchange only first/last-window partials with
+    neighbor shards (ops/pallas/fused_attn.exchange_boundary_windows), the
+    point->global pool combines owned-row triples, and pts3D is assembled
+    by ONE masked psum — per-shard collective volume is O(WINDOW * D) per
+    layer instead of the full (N, D) tables. Forward, loss and EVERY
+    gradient leaf must match single-device execution exactly."""
+
+    def _conf_model_scene(self):
+        from gasfm_tpu.graph.view_graph import CHUNK
+
+        conf = ConfigFactory.parse_string(
+            CONF + "\nparallel { mesh_shape = [1, 4], table_sharding = true }\n"
+        )
+        model = get_model(conf)
+        data = generate_synthetic_scene(n_views=12, n_points=256, seed=3)
+        scene = data.to_scene_graph(caps=(16, 256, 4 * CHUNK))
+        assert_spans_shards(scene, 4)
+        return conf, model, scene
+
+    def test_contract_check(self):
+        from gasfm_tpu.graph.view_graph import CHUNK
+        from gasfm_tpu.parallel import check_table_shard_contract
+
+        conf, model, scene = self._conf_model_scene()
+        check_table_shard_contract(
+            scene.graph.pt_window, 4, scene.graph.edge_mask
+        )  # passes
+        # One window whose live run spans 4 one-chunk shards violates span<=2.
+        data = generate_synthetic_scene(n_views=24, n_points=96, visibility=0.9, seed=0)
+        small = data.to_scene_graph(caps=(32, 256, 4 * CHUNK))
+        with pytest.raises(ValueError, match="span<=2"):
+            check_table_shard_contract(small.graph.pt_window, 4, small.graph.edge_mask)
+
+    def test_sharded_grads_match_single_device(self):
+        from jax.sharding import PartitionSpec as P
+
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.ops.segment import edge_partitioned, table_sharded
+        from gasfm_tpu.parallel import (
+            EDGE_AXIS,
+            compute_owned_points,
+            make_mesh,
+            scene_graph_specs,
+        )
+
+        conf, model, scene = self._conf_model_scene()
+        loss_func = get_loss_func(conf)
+        seg.set_kernel_mode("interpret")
+        try:
+            params = model.init(jax.random.PRNGKey(0), scene.graph)
+
+            def loss_fn(p, sc):
+                return loss_func(model.apply(p, sc.graph), sc)
+
+            l_ref, g_ref = jax.value_and_grad(loss_fn)(params, scene)
+
+            mesh = make_mesh(n_edge=4, n_data=1)
+
+            def per_device(p, sc):
+                sc = jax.tree_util.tree_map(lambda x: x[0], sc)
+                with edge_partitioned(EDGE_AXIS), table_sharded(
+                    compute_owned_points(sc.graph, EDGE_AXIS)
+                ):
+                    loss, grads = jax.value_and_grad(loss_fn)(p, sc)
+                return loss, jax.lax.psum(grads, EDGE_AXIS)
+
+            sharded = jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P(), scene_graph_specs(batched=True)),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            l_sh, g_sh = jax.jit(sharded)(params, stack_scene_graphs([scene]))
+        finally:
+            seg.set_kernel_mode("auto")
+
+        assert float(l_sh) == pytest.approx(float(l_ref), rel=1e-5)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves(g_sh),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-2)
+            np.testing.assert_allclose(
+                b, a, atol=2e-5 * scale, rtol=1e-3,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
+
+    def test_production_forward_combines_tables(self):
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.parallel import make_mesh, make_sharded_forward
+
+        conf, model, scene = self._conf_model_scene()
+        seg.set_kernel_mode("interpret")
+        try:
+            params = model.init(jax.random.PRNGKey(0), scene.graph)
+            mesh = make_mesh(n_edge=4, n_data=1)
+            fwd = make_sharded_forward(conf, model, mesh)
+            pred_sh = fwd(params, stack_scene_graphs([scene]))
+            pred_ref = model.apply(params, scene.graph)
+        finally:
+            seg.set_kernel_mode("auto")
+        np.testing.assert_allclose(
+            np.asarray(pred_sh["Ps_norm"]), np.asarray(pred_ref["Ps_norm"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pred_sh["pts3D"]), np.asarray(pred_ref["pts3D"]), atol=1e-5
+        )
