@@ -50,13 +50,16 @@ def _attainable_edges_per_s(
     bound plus the scene-independent parameter/optimizer traffic.
 
     - Kernel bound: the step's edge work is one fused frontend + one fused
-      projection update per layer per chunk. Isolated scan-amortized
+      projection update per layer per LIVE chunk (the round-4 dead-chunk
+      skip removes all-padding chunks' compute, so the honest capacity is
+      the live-chunk count, not e_cap). Isolated scan-amortized
       measurements (scripts/packed_microbench.py, v5e, CHUNK=512, Wc=128,
       packed layout, f32, 2026-08-21): frontend fwd+bwd 6.40 us/chunk,
-      update fwd+bwd 1.99 us/chunk. The frontend is COMPUTE-bound
-      (scripts/frontend_ablation.py: ~3.3 us of kernel compute vs a ~2.0 us
-      structural floor; DMA pipelines underneath), so this is a measured
-      bound of the current kernel algorithm, not a hardware roofline.
+      update fwd+bwd 1.99 us/chunk (re-measured round 4: 6.6 + 1.96 —
+      stable). Round 4 showed simple kernels are STREAM-bound while the
+      full merged kernels sit above the stream floor (BENCHLOG section
+      20/22); this constant is a measured bound of the current kernel
+      algorithm, not a hardware roofline.
     - Optimizer bound: Adam reads (p, m, v, grad) and writes (p, m, v) —
       7 x 4 bytes per parameter per step at HBM bandwidth.
 
@@ -72,16 +75,20 @@ def _attainable_edges_per_s(
     return n_valid_edges / (kernel_s + adam_s)
 
 
-def _roofline_edges_per_s(n_layers: int, d_proj: int, hbm_gbps: float) -> float:
+def _roofline_edges_per_s(
+    n_layers: int, d_proj: int, hbm_gbps: float, elem_bytes: int = 4
+) -> float:
     """Crude HBM roofline for the edge-stream of one train step.
 
-    Per layer, the edge stream (E x d_proj f32) is read/written by: LN,
+    Per layer, the edge stream (E x d_proj) is read/written by: LN,
     attention source transform + softmax + weighted sum (2 aggregations),
     the fused 4-way edge update, and the residual — roughly 8 traversals
     forward; backward roughly doubles it and adds recomputed activations
     (x1.5). Everything else (view/point tables, MLPs) is small per edge.
+    ``elem_bytes``: 4 for f32 streams; 2 when GASFM_STREAM_DTYPE=bf16
+    stores the interior streams in bfloat16.
     """
-    bytes_per_edge_layer = d_proj * 4 * 8 * (1 + 2 * 1.5)
+    bytes_per_edge_layer = d_proj * elem_bytes * 8 * (1 + 2 * 1.5)
     total_bytes_per_edge = bytes_per_edge_layer * n_layers
     return hbm_gbps * 1e9 / total_bytes_per_edge
 
@@ -99,17 +106,19 @@ def _measure_hbm_gbps() -> float:
 
     x = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
 
+    K = 40  # amortizes the ~5 ms tunnel dispatch to ~0.1 ms/iter bias
+
     @jax.jit
     def red(a):
         def body(c, _):
             return c + jnp.sum(a) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=10)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
         return c
 
     float(red(x))
     t0 = time.perf_counter()
     float(red(x))
-    dt = (time.perf_counter() - t0) / 10
+    dt = (time.perf_counter() - t0) / K
     return 256 / 1024 / dt
 
 
@@ -172,16 +181,26 @@ def main():
     hbm = 819.0 if platform != "cpu" else 100.0
     roofline = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # Live-chunk capacity: the dead-chunk skip removes all-padding chunks.
+    import numpy as _np
+
+    chunk = int(os.environ["GASFM_CHUNK"])
+    em = _np.asarray(scene.graph.edge_mask).reshape(-1, chunk)
+    live_cap = int(em.any(axis=1).sum()) * chunk
     attainable = _attainable_edges_per_s(
-        n_valid_edges=n_edges, e_cap=scene.graph.num_edges,
+        n_valid_edges=n_edges, e_cap=live_cap,
         n_layers=9, n_params=n_params, hbm_gbps=hbm,
     )
 
     # Honest roofline against what THIS hardware instance actually delivers
     # (the 819 GB/s spec denominator stays as vs_baseline for cross-round
-    # comparability; BENCHLOG section 20 records the discrepancy).
+    # comparability; BENCHLOG section 20 records the discrepancy), with the
+    # traffic model's element size matching the actual stream dtype.
     hbm_meas = _measure_hbm_gbps() if platform != "cpu" else hbm
-    roofline_meas = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm_meas)
+    ebytes = 2 if os.environ["GASFM_STREAM_DTYPE"] == "bf16" else 4
+    roofline_meas = _roofline_edges_per_s(
+        n_layers=9, d_proj=32, hbm_gbps=hbm_meas, elem_bytes=ebytes
+    )
 
     print(json.dumps({
         "metric": "gasfm_train_edges_per_s",

@@ -59,7 +59,7 @@ def main():
         def body(e, _):
             en, outp, outc, mdp, mdc = _front_fwd_raw(
                 e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                pids, cids, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm)
+                pids, cids, wb, None, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm)
             return en + outp.sum() * 1e-9, ()
 
         out, _ = jax.lax.scan(body, e, None, length=n)
@@ -70,10 +70,10 @@ def main():
         def body(e, _):
             en, outp, outc, mdp, mdc = _front_fwd_raw(
                 e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                pids, cids, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm)
+                pids, cids, wb, None, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm)
             outs = _front_bwd_raw(
                 e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                pids, cids, wb, mdp, mdc, outp, outc, outp, outc, en,
+                pids, cids, wb, None, mdp, mdc, outp, outc, outp, outc, en,
                 W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm)
             de = outs[0]
             return en + de * 1e-6, ()

@@ -81,16 +81,16 @@ def main():
     def front_fwd(e, packed):
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-            pids2d, cids2d, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
+            pids2d, cids2d, wb, None, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
         return en + outp.sum() * 1e-9
 
     def front_fwdbwd(e, packed):
         en, outp, outc, mdp, mdc = _front_fwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-            pids2d, cids2d, wb, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
+            pids2d, cids2d, wb, None, W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
         outs = _front_bwd_raw(
             e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-            pids2d, cids2d, wb, mdp, mdc, outp, outc, outp, outc, en,
+            pids2d, cids2d, wb, None, mdp, mdc, outp, outc, outp, outc, en,
             W, Wc, Hp, Hc, 0.2, 1e-5, mm=mm, packed=packed)
         return outs[0] * 1e-6 + e
 
@@ -109,17 +109,17 @@ def main():
     def upd_packed(en_p):
         out = fpu._fwd_raw(en_p, skip2_p, res_p, blockdiag(w_e),
                            tile_row(b_ + pg), blockdiag(w_uv), ps, pv,
-                           pids2d, cids2d, wb, W, Wc, D, False, mm,
+                           pids2d, cids2d, wb, None, W, Wc, D, False, mm,
                            True, True)
         return out + en_p * 1e-9
 
     def upd_packed_bwd(en_p):
         out = fpu._fwd_raw(en_p, skip2_p, res_p, blockdiag(w_e),
                            tile_row(b_ + pg), blockdiag(w_uv), ps, pv,
-                           pids2d, cids2d, wb, W, Wc, D, False, mm,
+                           pids2d, cids2d, wb, None, W, Wc, D, False, mm,
                            True, True)
         outs = fpu._bwd_raw(out, en_p, skip2_p, blockdiag(w_e), blockdiag(w_uv),
-                            pids2d, cids2d, wb, W, Wc, D, s_pad, False, mm,
+                            pids2d, cids2d, wb, None, W, Wc, D, s_pad, False, mm,
                             True)
         return outs[0] * 1e-6 + en_p
 
