@@ -79,6 +79,34 @@ def init_exp(args):
     from gasfm_tpu.utils.paths import gen_dflt_exp_dir
 
     conf = load_config(args.conf, external_params=args.external_params)
+    # Conf-driven edge-chunk length (``compile.chunk``): CHUNK is a layout
+    # constant read at gasfm_tpu.graph import time (it shapes every compiled
+    # kernel), so it must be applied BEFORE any model/graph import. Sparse
+    # real-world scenes (power-law track lengths) want 512 — each point
+    # window's edge run pads to a CHUNK multiple (BENCHLOG section 23);
+    # dense synthetic scenes are ~7% faster at 1024. The GASFM_CHUNK env
+    # var still wins (perf sweeps set it before python starts).
+    chunk_conf = conf.get_int("compile.chunk", default=None)
+    if chunk_conf is not None and "GASFM_CHUNK" not in os.environ:
+        import sys as _sys
+
+        if "gasfm_tpu.graph.view_graph" in _sys.modules:
+            from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
+
+            if _CHUNK != chunk_conf:
+                raise RuntimeError(
+                    f"compile.chunk = {chunk_conf} but gasfm_tpu.graph was "
+                    f"already imported with CHUNK = {_CHUNK}; set GASFM_CHUNK "
+                    f"in the environment instead"
+                )
+        os.environ["GASFM_CHUNK"] = str(chunk_conf)
+    # Conf-driven stream storage dtype (``compile.stream_dtype`` = "f32" |
+    # "bf16"; see ops/pallas/packing.stream_dtype). Trace-time like the
+    # kernel mode; the env var wins for perf sweeps.
+    sd = conf.get_string("compile.stream_dtype", default=None)
+    if sd is not None and "GASFM_STREAM_DTYPE" not in os.environ:
+        assert sd in ("f32", "bf16"), f"compile.stream_dtype must be f32|bf16, got {sd}"
+        os.environ["GASFM_STREAM_DTYPE"] = sd
     if args.scene is not None:
         conf.put("dataset.scene", args.scene)
     exp_dir = args.exp_dir or conf.get_string("exp_dir", default=None) or gen_dflt_exp_dir()
@@ -134,6 +162,12 @@ def main(argv=None):
         except RuntimeError:
             pass
 
+    # init_exp BEFORE any model/graph import: it applies `compile.chunk` /
+    # `compile.stream_dtype` to the environment, and CHUNK is a layout
+    # constant read when gasfm_tpu.graph first imports.
+    args = parse_args(argv)
+    conf, rng = init_exp(args)
+
     from gasfm_tpu.experiments import (
         create_eval_dataloaders,
         eval_model,
@@ -143,9 +177,6 @@ def main(argv=None):
     )
     from gasfm_tpu.utils.observability import log_code
     from gasfm_tpu.utils.phases import Phases
-
-    args = parse_args(argv)
-    conf, rng = init_exp(args)
 
     # Multi-host runtime startup (conf `parallel.distributed.*`) — must run
     # before any device query so the global mesh spans every host's chips.

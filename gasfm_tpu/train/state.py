@@ -44,8 +44,19 @@ def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTrans
             chain.append(optax.clip(grad_clip_th))
         else:
             raise AssertionError(f'Could not interpret gradient clipping mode "{grad_clip_mode}".')
+    # Optional bf16 first-moment storage (``train.adam_mu_dtype = "bf16"``):
+    # Adam on the flagship 110M-param tree is HBM-bound (~5.3 ms/step,
+    # BENCHLOG section 2/22); a bf16 mu trims its read+write traffic ~14%.
+    # OFF by default — it perturbs optimizer numerics (the reference uses
+    # f32 torch Adam).
+    mu_dtype = conf.get_string("train.adam_mu_dtype", default=None)
+    import jax.numpy as jnp
+
     chain.append(
-        optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+        optax.adam(
+            learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+            mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+        )
     )
     return optax.chain(*chain), schedule
 
