@@ -227,7 +227,12 @@ def build_view_graph(
     e_blocked = int(blk_padded.sum()) if e > 0 else 0
 
     if caps is None:
-        m_cap = bucket_size(m, cam_multiple, growth)
+        # Camera caps additionally snap to the next 128-multiple: the
+        # kernels' dense camera-table width is round_up(m_cap, 128), so any
+        # cap inside (128k, 128(k+1)] costs the SAME kernel width — take
+        # the smallest. (The growth grid alone lands e.g. 156 for m=128,
+        # silently doubling Wc to 256: measured ~3% of the merged kernel.)
+        m_cap = min(bucket_size(m, cam_multiple, growth), _round_up(m, 128))
         n_cap = bucket_size(n, pt_multiple, growth)
         e_cap = bucket_size(e_blocked, edge_multiple, growth)
     else:

@@ -143,5 +143,89 @@ def main():
           flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] != "merged"):
     main()
+
+
+def merged_main():
+    """Isolated merged layer-step kernel (fused_layer_step) fwd / fwd+bwd,
+    f32 vs bf16 streams — attributes the bench's hot path against the
+    stream model of BENCHLOG section 20. Run:
+        GASFM_CHUNK=1024 python scripts/packed_microbench.py merged
+    """
+    import numpy as np
+
+    from gasfm_tpu.data.synthetic import generate_synthetic_scene
+    from gasfm_tpu.ops.pallas import fused_layer_step as fls
+    from gasfm_tpu.ops.pallas.packing import PACK, blockdiag, pack_edges, tile_row
+
+    rngs = np.random.default_rng(0)
+    data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
+    scene = data.to_scene_graph()
+    g = scene.graph
+    E = g.num_edges
+    nch = E // CHUNK
+    De, Dp, Dc, Hp, Hc = 32, 32, 32, 4, 4
+    s_pad = -(-g.num_pts // WINDOW) * WINDOW
+    Wc = max(((g.num_cams + 127) // 128) * 128, 128)
+    import os as _os
+    if _os.environ.get("MERGED_WC"):
+        Wc = int(_os.environ["MERGED_WC"])  # A/B: cam ids stay < 128
+    r = lambda *s: jnp.asarray(rngs.standard_normal(s).astype(np.float32) * 0.1)  # noqa: E731
+    pids2d = g.pt_idx.astype(jnp.int32).reshape(nch, CHUNK)
+    cids2d = g.cam_idx.astype(jnp.int32).reshape(nch, CHUNK)
+    wb = g.pt_window.reshape(nch, CHUNK)[:, 0]
+    nlive = jnp.asarray(nch, jnp.int32)
+    HP = -(-(Hp + Hc) // 8) * 8
+
+    we_bd = blockdiag(r(De, De))
+    c0 = tile_row(r(1, De))
+    wuv_bd = blockdiag(r(2, De))
+    ps, pv = r(s_pad, De), r(Wc, De)
+    lng, lnb = r(1, De) + 1.0, r(1, De)
+    wlp, blp = r(De, Dp), r(1, Dp)
+    wlc, blc = r(De, Dc), r(1, Dc)
+    xrp, xrc = r(s_pad, Dp), r(Wc, Dc)
+    attp, attc = r(1, Dp), r(1, Dc)
+    print(f"merged kernel: CHUNK={CHUNK} chunks={nch} Wc={Wc}", flush=True)
+
+    for sd in ("f32", "bf16"):
+        dt = jnp.float32 if sd == "f32" else jnp.bfloat16
+        en_p = pack_edges(r(E, De), CHUNK).astype(dt)
+        skip2_p = pack_edges(r(E, 2), CHUNK).astype(dt)
+        res_p = pack_edges(r(E, De), CHUNK).astype(dt)
+
+        def fwd(en_p):
+            outs = fls._fwd_raw(
+                en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps, pv,
+                lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+            return outs[0] + en_p * 1e-9
+
+        def fwdbwd(en_p):
+            el, ennext, outp, outc, mdp, mdc = fls._fwd_raw(
+                en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps, pv,
+                lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+            outs = fls._bwd_raw(
+                en_p, skip2_p, el, we_bd, wuv_bd,
+                lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
+                mdp, mdc, outp, outc, outp, outc, ennext, el,
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+            return (outs[0].astype(jnp.float32) * 1e-6).astype(en_p.dtype) + en_p
+        t = bench(fwd, en_p)
+        t2 = bench(fwdbwd, en_p)
+        # Stream model: fwd moves en+skip2+res in, el+ennext out; bwd adds
+        # en+skip2+el+gen+gel in, den+dskip2+dres out (physical packed rows).
+        b = 2 if sd == "bf16" else 4
+        fwd_bytes = (3 + 2) * CHUNK * 32 * b
+        bwd_bytes = (5 + 3) * CHUNK * 32 * b
+        print(f"streams={sd}: fwd {t/nch*1e6:6.3f} us/chunk "
+              f"(stream model {fwd_bytes/220e9*1e6:5.2f} @220GB/s) | "
+              f"fwd+bwd {t2/nch*1e6:6.3f} us/chunk "
+              f"(model {(fwd_bytes+bwd_bytes)/220e9*1e6:5.2f})", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "merged":
+    merged_main()
+    raise SystemExit(0)
