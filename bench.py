@@ -145,7 +145,14 @@ def main():
     # ~116k valid edges (m=128, n=8192): in the flat region of the measured
     # scaling curve, with the Adam fixed cost (~5.6 ms on the 110M-param
     # tree) amortized to ~13% of the step — see BENCHLOG.md sections 1-2.
-    data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
+    # GASFM_BENCH_SCENE=powerlaw benches the realistic short-track-length
+    # distribution instead (BENCHLOG section 23; pair with GASFM_CHUNK=512).
+    if os.environ.get("GASFM_BENCH_SCENE") == "powerlaw":
+        data = generate_synthetic_scene(
+            n_views=133, n_points=24576, track_length_dist="powerlaw", seed=0
+        )
+    else:
+        data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
     scene = data.to_scene_graph()
     n_edges = int(scene.graph.e_true)
 
