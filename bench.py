@@ -53,13 +53,14 @@ def _attainable_edges_per_s(
       projection update per layer per LIVE chunk (the round-4 dead-chunk
       skip removes all-padding chunks' compute, so the honest capacity is
       the live-chunk count, not e_cap). Isolated scan-amortized
-      measurements (scripts/packed_microbench.py, v5e, CHUNK=512, Wc=128,
-      packed layout, f32, 2026-08-21): frontend fwd+bwd 6.40 us/chunk,
-      update fwd+bwd 1.99 us/chunk (re-measured round 4: 6.6 + 1.96 —
-      stable). Round 4 showed simple kernels are STREAM-bound while the
-      full merged kernels sit above the stream floor (BENCHLOG section
-      20/22); this constant is a measured bound of the current kernel
-      algorithm, not a hardware roofline.
+      measurements (scripts/packed_microbench.py merged, v5e, CHUNK=1024,
+      Wc=128, packed layout, bf16 streams, 2026-08-21, AFTER the round-4
+      LN-via-matmul kernel change): merged layer-step fwd+bwd 10.68
+      us/chunk — 10.43 ns per edge slot per layer. Round 4 showed simple
+      kernels are STREAM-bound while the full merged kernels sit above the
+      stream floor (BENCHLOG sections 20/22/27-28); this constant is a
+      measured bound of the current kernel algorithm, not a hardware
+      roofline.
     - Optimizer bound: Adam reads (p, m, v, grad) and writes (p, m, v) —
       7 x 4 bytes per parameter per step at HBM bandwidth.
 
@@ -67,9 +68,10 @@ def _attainable_edges_per_s(
     relayout boundaries) is the remaining optimization headroom that
     ``vs_attainable`` exposes.
     """
-    # (6.40 + 1.99) us per 512-edge chunk -> 16.4 ns per edge-capacity slot
-    # per layer (per-edge kernel cost is ~flat in CHUNK, measured).
-    KERNEL_NS_PER_EDGE_LAYER = (6.40 + 1.99) / 512 * 1e3
+    # 10.68 us per 1024-edge merged-kernel chunk -> 10.4 ns per
+    # edge-capacity slot per layer (per-edge kernel cost is ~flat in
+    # CHUNK, measured).
+    KERNEL_NS_PER_EDGE_LAYER = 10.68 / 1024 * 1e3
     kernel_s = e_cap * n_layers * KERNEL_NS_PER_EDGE_LAYER * 1e-9
     adam_s = n_params * 4 * 7 / (hbm_gbps * 1e9)
     return n_valid_edges / (kernel_s + adam_s)
@@ -138,6 +140,13 @@ def main():
     from gasfm_tpu.utils.benchstep import make_run_steps
 
     conf = _flagship_conf(small=False)
+    # bf16 first-moment Adam storage: the 110M-param Adam step is HBM-bound
+    # (~5.3 ms, BENCHLOG section 22); bf16 mu trims its traffic ~1 ms. Like
+    # the bf16 streams above, this is the bench's fast configuration — the
+    # production default stays f32 for reference-optimizer parity
+    # (train/state.py). GASFM_ADAM_MU_DTYPE=f32 restores parity numerics.
+    if os.environ.get("GASFM_ADAM_MU_DTYPE", "bf16") == "bf16":
+        conf.put("train.adam_mu_dtype", "bf16")
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)

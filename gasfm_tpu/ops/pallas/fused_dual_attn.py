@@ -804,8 +804,18 @@ def _front_fwd_kernel(
         # load, downcast on store; math stays f32.
         e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
              else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
-        mean = jnp.mean(e, axis=1, keepdims=True)
-        var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+        # LN lane means as (De, De) all-ones/De MXU passes — reduction plus
+        # lane broadcast in one cheap matmul (round-4 ablation,
+        # scripts/merged_ablate.py: the largest single fwd-kernel item).
+        ones_dd = jnp.full((e.shape[1], e.shape[1]), 1.0 / e.shape[1], jnp.float32)
+        mean = jax.lax.dot_general(
+            e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        var = jax.lax.dot_general(
+            e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - mean * mean
         xhat = (e - mean) * jax.lax.rsqrt(var + eps)
         xn = xhat * lng_ref[:] + lnb_ref[:]
         en = jnp.maximum(xn, 0.0)
@@ -1094,8 +1104,16 @@ def _front_bwd_kernel(
         e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
              else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
         De = e.shape[1]
-        mean = jnp.mean(e, axis=1, keepdims=True)
-        var = jnp.mean(e * e, axis=1, keepdims=True) - mean * mean
+        # LN lane means as all-ones/De MXU passes (see _front_fwd_kernel).
+        ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+        mean = jax.lax.dot_general(
+            e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        var = jax.lax.dot_general(
+            e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - mean * mean
         rstd = jax.lax.rsqrt(var + eps)
         xhat = (e - mean) * rstd
         xn = xhat * lng_ref[:] + lnb_ref[:]
@@ -1218,8 +1236,14 @@ def _front_bwd_kernel(
         dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
         dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
         d_xhat = d_xn * lng_ref[:]
-        mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
-        mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+        mean_dxhat = jax.lax.dot_general(
+            d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_dxhat_xhat = jax.lax.dot_general(
+            d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
         de_ref[:] = (repack_tile(de) if packed else de).astype(de_ref.dtype)
 

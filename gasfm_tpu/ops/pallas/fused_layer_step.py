@@ -189,8 +189,20 @@ def _fwd_kernel(
         el_ref[:] = repack_tile(e_l).astype(el_ref.dtype)
 
         # ---- frontend part over the lane-concatenated [point | camera] space.
-        mean = jnp.mean(e_l, axis=1, keepdims=True)
-        var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
+        # LayerNorm statistics as (De, De) all-ones/De MXU passes: a lane
+        # reduction PLUS its broadcast back across the feature lanes costs
+        # one cheap matmul instead of a log-step VPU shuffle chain — the
+        # single largest item of the round-4 forward ablation
+        # (scripts/merged_ablate.py: -1.9 us of 7.3 us/chunk).
+        ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+        mean = jax.lax.dot_general(
+            e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        var = jax.lax.dot_general(
+            e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - mean * mean
         xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
         xn = xhat * lng_ref[:] + lnb_ref[:]
         en = jnp.maximum(xn, 0.0)
@@ -417,8 +429,17 @@ def _bwd_body(
     # update itself is not recomputed). Streams may be stored bf16
     # (packing.stream_dtype): upcast on load, downcast on store.
     e_l = unpack_tile(el_ref[:].astype(jnp.float32))  # (CHUNK, De)
-    mean = jnp.mean(e_l, axis=1, keepdims=True)
-    var = jnp.mean(e_l * e_l, axis=1, keepdims=True) - mean * mean
+    # Lane means as all-ones/De MXU passes (see _fwd_kernel's LN note) —
+    # the broadcast across lanes comes for free with the matmul.
+    ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+    mean = jax.lax.dot_general(
+        e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    var = jax.lax.dot_general(
+        e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (e_l - mean) * rstd
     xn = xhat * lng_ref[:] + lnb_ref[:]
@@ -494,8 +515,14 @@ def _bwd_body(
     dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
     dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
     d_xhat = d_xn * lng_ref[:]
-    mean_dxhat = jnp.mean(d_xhat, axis=1, keepdims=True)
-    mean_dxhat_xhat = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+    mean_dxhat = jax.lax.dot_general(
+        d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mean_dxhat_xhat = jax.lax.dot_general(
+        d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     d_el = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
     d_el += unpack_tile(gel_ref[:].astype(jnp.float32))  # downstream cotangent of e_l
 
