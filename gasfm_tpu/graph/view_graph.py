@@ -197,7 +197,7 @@ def build_view_graph(
     caps: Optional[Tuple[int, int, int]] = None,
     cam_multiple: int = 8,
     pt_multiple: int = 256,
-    edge_multiple: int = 512,
+    edge_multiple: Optional[int] = None,
     growth: float = 1.3,
 ) -> ViewGraph:
     """Host-side construction from a (2m, n) measurement matrix.
@@ -208,6 +208,14 @@ def build_view_graph(
     """
     from gasfm_tpu.geometry.np_geo import get_M_valid_points, normalize_M
 
+    # The edge cap must stay a CHUNK multiple or pt_segment_windows() returns
+    # None and every Pallas kernel silently falls back to XLA (measured 6x
+    # slower at bench shapes). The old fixed default of 512 did exactly that
+    # under GASFM_CHUNK=1024 whenever the bucket grid landed on an odd
+    # 512-multiple; callers that need a coarser grid (edge sharding) pass
+    # edge_multiple = CHUNK * n_edge_shards explicitly (train/loop.py).
+    if edge_multiple is None:
+        edge_multiple = CHUNK
     M = np.asarray(M, dtype=np.float32)
     m = M.shape[0] // 2
     n = M.shape[1]

@@ -492,12 +492,6 @@ def _bwd_body(
     )
 
     dxl_pc = p_dpc * dnum_pc + dz_pc
-    scat_xr = jax.lax.dot_general(
-        ohT_pc_mm, dz_pc.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (W+Wc, Dpc)
-    dxrp_ref[:] += scat_xr[0:W, 0:Dp]
-    dxrc_ref[:] += pltpu.roll(scat_xr[W : W + Wc, :], Dpc - Dp, 1)[:, 0:Dc]
     dattpc_ref[0:1, :] += jnp.sum(dl_dpc * gz, axis=0, keepdims=True)
 
     gen = unpack_tile(gen_ref[:].astype(jnp.float32))
@@ -553,12 +547,23 @@ def _bwd_body(
         )
     dsum_ref[0:1, :] += jnp.sum(d_core_p, axis=0, keepdims=True)
     d_core = d_el * 0.25  # (CHUNK, De) for the table scatters
-    scat_upd = jax.lax.dot_general(
-        ohT_pc_mm, d_core.astype(mm_dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+    # ONE merged table-scatter pass for the attention-query cotangent
+    # (dz_pc) and the update cotangent (d_core): the lane-concatenated
+    # operand fits one vreg width (Dpc + De = 96 <= 128), so a single
+    # K=CHUNK one-hot pass replaces two (round-4 bwd ablation,
+    # scripts/merged_ablate_bwd.py: -0.51 us/chunk; the extraction rolls
+    # are measured free there).
+    scat_in = jnp.concatenate([dz_pc, d_core], axis=1)  # (CHUNK, Dpc+De)
+    PW2 = Dpc + De
+    scat2 = jax.lax.dot_general(
+        ohT_pc_mm, scat_in.astype(mm_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (W+Wc, De)
-    dps_ref[:] += scat_upd[0:W, :]
-    dpv_ref[:] += scat_upd[W : W + Wc, :]
+    )  # (W+Wc, Dpc+De)
+    dxrp_ref[:] += scat2[0:W, 0:Dp]
+    dxrc_ref[:] += pltpu.roll(scat2[W : W + Wc, :], PW2 - Dp, 1)[:, 0:Dc]
+    dps_ref[:] += pltpu.roll(scat2[0:W, :], PW2 - Dpc, 1)[:, 0:De]
+    dpv_ref[:] += pltpu.roll(scat2[W : W + Wc, :], PW2 - Dpc, 1)[:, 0:De]
 
 
 def _pad_ids(pids2d, cids2d):

@@ -187,7 +187,8 @@ def merged_main():
     wlc, blc = r(De, Dc), r(1, Dc)
     xrp, xrc = r(s_pad, Dp), r(Wc, Dc)
     attp, attc = r(1, Dp), r(1, Dc)
-    print(f"merged kernel: CHUNK={CHUNK} chunks={nch} Wc={Wc}", flush=True)
+    _mm = _os.environ.get("GASFM_KERNEL_PRECISION", "f32")
+    print(f"merged kernel: CHUNK={CHUNK} chunks={nch} Wc={Wc} mm={_mm}", flush=True)
 
     for sd in ("f32", "bf16"):
         dt = jnp.float32 if sd == "f32" else jnp.bfloat16
@@ -199,19 +200,19 @@ def merged_main():
             outs = fls._fwd_raw(
                 en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps, pv,
                 lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5, mm=_mm)
             return outs[0] + en_p * 1e-9
 
         def fwdbwd(en_p):
             el, ennext, outp, outc, mdp, mdc = fls._fwd_raw(
                 en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps, pv,
                 lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
-                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5, mm=_mm)
             outs = fls._bwd_raw(
                 en_p, skip2_p, el, we_bd, wuv_bd,
                 lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                 mdp, mdc, outp, outc, outp, outc, ennext, el,
-                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5)
+                pids2d, cids2d, wb, nlive, WINDOW, Wc, Hp, Hc, 0.2, 1e-5, mm=_mm)
             return (outs[0].astype(jnp.float32) * 1e-6).astype(en_p.dtype) + en_p
         t = bench(fwd, en_p)
         t2 = bench(fwdbwd, en_p)
