@@ -177,8 +177,20 @@ class GraphAttnSfMNet(nn.Module):
                     else None
                 ),
             )
-        if e_packed:
+        # Final-aggregation fast path: when the stream is packed and the only
+        # consumer of `e` is the final global update (no depth head), keep it
+        # packed and run the no-LN fused frontend there (raw_frontend) — the
+        # unpack relayout and the composite per-edge source transforms
+        # disappear. Identical semantics either way.
+        final_raw = (
+            e_packed
+            and not self.depth_head_enabled
+            and (self.view_head_enabled or self.scenepoint_head_enabled)
+            and _os.environ.get("GASFM_FINAL_RAW", "1") != "0"
+        )
+        if e_packed and not final_raw:
             e = unpack_edges(e, CHUNK).astype(jnp.float32)
+            e_packed = False
 
         pred: Dict[str, Any] = {}
 
@@ -206,6 +218,8 @@ class GraphAttnSfMNet(nn.Module):
                 n_hidden_layers_scenepoint_update=self.n_hidden_layers_scenepoint_update,
                 n_hidden_layers_view_update=self.n_hidden_layers_view_update,
                 n_hidden_layers_global_update=self.n_hidden_layers_global_update,
+                packed_edges=final_raw,
+                raw_frontend=final_raw,
                 name="final_global_update",
             )(
                 e,

@@ -512,7 +512,14 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
     n_hidden_layers_scenepoint_update: int = 0
     n_hidden_layers_view_update: int = 0
     n_hidden_layers_global_update: int = 0
-    packed_edges: bool = False  # x_edges lane-packed (requires ln_params)
+    packed_edges: bool = False  # x_edges lane-packed (requires ln_params
+    #                             or raw_frontend)
+    # Run the no-LN frontends on the (possibly packed) raw stream instead of
+    # the composite prepare + attend_dual — identical semantics (the final
+    # aggregation's source transforms consume x_edges as-is), but the fused
+    # kernel path consumes the packed inter-layer stream directly, removing
+    # the unpack relayout and the composite per-edge transforms.
+    raw_frontend: bool = False
 
     @nn.compact
     def __call__(
@@ -526,7 +533,7 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
         #                  LN + ReLU prologue fuses into the attention kernel;
         #                  the normalized features are appended to the return.
     ):
-        assert not (self.packed_edges and ln_params is None)
+        assert not (self.packed_edges and ln_params is None and not self.raw_frontend)
         need_global = self.output_global or self.global2view_and_global2scenepoint_enabled
         if need_global:
             assert self.n_feat_global_out is not None
@@ -585,6 +592,25 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
                     wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
                     edge_mask=graph.edge_mask, packed=self.packed_edges,
                 )
+        elif self.raw_frontend:
+            # Final-aggregation fast path: same weights and math as
+            # prepare + attend_dual (source transforms on the RAW stream),
+            # but as the fused frontend with the LN/ReLU prologue skipped —
+            # consumes the packed stream directly when packed_edges.
+            xr_p = proj2scenepoint.query_transform(prev_scenepoint_features, graph.num_pts)
+            xr_c = proj2view.query_transform(prev_view_features, graph.num_cams)
+            wlp, blp, att_p = proj2scenepoint.src_params()
+            wlc, blc, att_c = proj2view.src_params()
+            De = self.n_feat_proj_in
+            _, agg_p, agg_c = gatv2_layer_frontend(
+                x_edges, jnp.ones((De,), jnp.float32), jnp.zeros((De,), jnp.float32),
+                LN_EPS,
+                wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                graph.pt_segment_windows(),
+                wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                edge_mask=graph.edge_mask, packed=self.packed_edges,
+                raw_prologue=True,
+            )
         else:
             xl_p, xr_p, att_p = proj2scenepoint.prepare(
                 x_edges, graph.num_pts, prev_scenepoint_features

@@ -298,6 +298,7 @@ def gatv2_layer_frontend(
     edge_mask: Optional[jnp.ndarray] = None,
     negative_slope: float = 0.2,
     packed: bool = False,
+    raw_prologue: bool = False,
 ):
     """The whole GASFM-layer edge-stream prologue — LN + ReLU + the two GATv2
     source transforms + BOTH aggregations — as one fused kernel when
@@ -307,7 +308,13 @@ def gatv2_layer_frontend(
 
     ``packed``: e_raw is a lane-packed (E/PACK, PACK*De) stream
     (ops/pallas/packing.py) and e_norm keeps that layout; the composite
-    fallback relayouts at the boundaries with identical semantics."""
+    fallback relayouts at the boundaries with identical semantics.
+
+    ``raw_prologue``: skip LN + ReLU — the source transforms consume the raw
+    stream, which is the FINAL-aggregation semantics
+    (AxialAttentionAggregator.prepare / reference layers.py:723-870);
+    ln_scale/ln_bias are then dummy operands whose gradients are zero, and
+    the returned e_norm is the raw stream itself."""
     from gasfm_tpu.ops.segment import current_edge_axis
 
     if packed:
@@ -350,6 +357,7 @@ def gatv2_layer_frontend(
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(), packed=packed,
             nlive=window.nlive if edge_mask is not None else None,
+            raw_prologue=raw_prologue,
         )
         if window.row_ok is not None:
             out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)
@@ -360,7 +368,8 @@ def gatv2_layer_frontend(
 
         in_dtype = e_raw.dtype
         e_raw = unpack_edges(e_raw, _CHUNK).astype(jnp.float32)
-    en = _layer_norm_relu(e_raw, ln_scale, ln_bias, eps)
+    en = (e_raw.astype(jnp.float32) if raw_prologue
+          else _layer_norm_relu(e_raw, ln_scale, ln_bias, eps))
     xl_p = (en @ wlp + blp).reshape(E, Hp, Cp)
     xl_c = (en @ wlc + blc).reshape(E, Hc, Cc)
     out_p, out_c = gatv2_attend_dual(

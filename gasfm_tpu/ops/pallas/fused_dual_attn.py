@@ -763,7 +763,7 @@ def _front_fwd_kernel(
     attp_ref, attc_ref, sselp_ref, sselc_ref, hm_ref,
     en_ref, outp_ref, outc_ref, mdp_ref, mdc_ref, mrun_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, finalize: bool = True,
-    mm_dtype=jnp.float32, packed: bool = False,
+    mm_dtype=jnp.float32, packed: bool = False, raw_prologue: bool = False,
 ):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -804,22 +804,29 @@ def _front_fwd_kernel(
         # load, downcast on store; math stays f32.
         e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
              else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
-        # LN lane means as (De, De) all-ones/De MXU passes — reduction plus
-        # lane broadcast in one cheap matmul (round-4 ablation,
-        # scripts/merged_ablate.py: the largest single fwd-kernel item).
-        ones_dd = jnp.full((e.shape[1], e.shape[1]), 1.0 / e.shape[1], jnp.float32)
-        mean = jax.lax.dot_general(
-            e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        var = jax.lax.dot_general(
-            e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) - mean * mean
-        xhat = (e - mean) * jax.lax.rsqrt(var + eps)
-        xn = xhat * lng_ref[:] + lnb_ref[:]
-        en = jnp.maximum(xn, 0.0)
-        en_ref[:] = (repack_tile(en) if packed else en).astype(en_ref.dtype)
+        if raw_prologue:
+            # No LN / ReLU: the source transforms consume the raw stream —
+            # the final-aggregation semantics (AxialAttentionAggregator
+            # .prepare, reference layers.py:723-870 final global update).
+            en = e
+            en_ref[:] = e_ref[:]
+        else:
+            # LN lane means as (De, De) all-ones/De MXU passes — reduction
+            # plus lane broadcast in one cheap matmul (round-4 ablation,
+            # scripts/merged_ablate.py: the largest single fwd-kernel item).
+            ones_dd = jnp.full((e.shape[1], e.shape[1]), 1.0 / e.shape[1], jnp.float32)
+            mean = jax.lax.dot_general(
+                e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            var = jax.lax.dot_general(
+                e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - mean * mean
+            xhat = (e - mean) * jax.lax.rsqrt(var + eps)
+            xn = xhat * lng_ref[:] + lnb_ref[:]
+            en = jnp.maximum(xn, 0.0)
+            en_ref[:] = (repack_tile(en) if packed else en).astype(en_ref.dtype)
         xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
         xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
@@ -943,10 +950,11 @@ def _front_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
-                                             "finalize", "mm", "packed"))
+                                             "finalize", "mm", "packed", "raw_prologue"))
 def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
-                   interpret=False, finalize=True, mm="f32", packed=False):
+                   interpret=False, finalize=True, mm="f32", packed=False,
+                   raw_prologue=False):
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -1012,7 +1020,8 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     en, outp, outc, mdp, mdc = pl.pallas_call(
         functools.partial(_front_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          finalize=finalize, mm_dtype=mm_dtype, packed=packed),
+                          finalize=finalize, mm_dtype=mm_dtype, packed=packed,
+                          raw_prologue=raw_prologue),
         grid_spec=grid_spec,
         out_shape=[
             stream_shape,
@@ -1036,7 +1045,7 @@ def _front_bwd_kernel(
     dxrp_ref, dxrc_ref, dattp_ref, dattc_ref,
     packp_scr, packc_scr,
     *, W: int, Wc: int, HP: int, slope: float, eps: float, mm_dtype=jnp.float32,
-    packed: bool = False,
+    packed: bool = False, raw_prologue: bool = False,
 ):
     # Packed per-window gather operand [xr | dnum | dden] — see
     # _dual_bwd_kernel (the window-constant softmax shift needs no gather).
@@ -1104,20 +1113,23 @@ def _front_bwd_kernel(
         e = (unpack_tile(e_ref[:].astype(jnp.float32)) if packed
              else e_ref[:].astype(jnp.float32))  # (CHUNK, De)
         De = e.shape[1]
-        # LN lane means as all-ones/De MXU passes (see _front_fwd_kernel).
-        ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
-        mean = jax.lax.dot_general(
-            e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        var = jax.lax.dot_general(
-            e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) - mean * mean
-        rstd = jax.lax.rsqrt(var + eps)
-        xhat = (e - mean) * rstd
-        xn = xhat * lng_ref[:] + lnb_ref[:]
-        en = jnp.maximum(xn, 0.0)
+        if raw_prologue:
+            en = e
+        else:
+            # LN lane means as all-ones/De MXU passes (see _front_fwd_kernel).
+            ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+            mean = jax.lax.dot_general(
+                e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            var = jax.lax.dot_general(
+                e * e, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - mean * mean
+            rstd = jax.lax.rsqrt(var + eps)
+            xhat = (e - mean) * rstd
+            xn = xhat * lng_ref[:] + lnb_ref[:]
+            en = jnp.maximum(xn, 0.0)
         xlp = jnp.dot(en, wlp_ref[:], preferred_element_type=jnp.float32) + blp_ref[:]
         xlc = jnp.dot(en, wlc_ref[:], preferred_element_type=jnp.float32) + blc_ref[:]
 
@@ -1232,28 +1244,33 @@ def _front_bwd_kernel(
         )
         dblc_ref[0:1, :] += jnp.sum(dxlc, axis=0, keepdims=True)
 
-        d_xn = jnp.where(xn > 0, d_en, 0.0)
-        dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
-        dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
-        d_xhat = d_xn * lng_ref[:]
-        mean_dxhat = jax.lax.dot_general(
-            d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        mean_dxhat_xhat = jax.lax.dot_general(
-            d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+        if raw_prologue:
+            # en == e: the stream cotangent is d_en directly (dlng/dlnb
+            # stay at their zero initialization — the LN params are dummies).
+            de = d_en
+        else:
+            d_xn = jnp.where(xn > 0, d_en, 0.0)
+            dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
+            dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
+            d_xhat = d_xn * lng_ref[:]
+            mean_dxhat = jax.lax.dot_general(
+                d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mean_dxhat_xhat = jax.lax.dot_general(
+                d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            de = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
         de_ref[:] = (repack_tile(de) if packed else de).astype(de_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "Hp", "Hc", "slope", "eps", "interpret",
-                                             "mm", "packed"))
+                                             "mm", "packed", "raw_prologue"))
 def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, nlive, mdp, mdc, outp, outc, gp, gc,
                    gen, W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32",
-                   packed=False):
+                   packed=False, raw_prologue=False):
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -1343,7 +1360,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     outs = pl.pallas_call(
         functools.partial(_front_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          mm_dtype=mm_dtype, packed=packed),
+                          mm_dtype=mm_dtype, packed=packed,
+                          raw_prologue=raw_prologue),
         grid_spec=grid_spec,
         out_shape=[
             stream_shape,
@@ -1366,7 +1384,8 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
 
 
 def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
-                        packed: bool = False, table_sharded: bool = False):
+                        packed: bool = False, table_sharded: bool = False,
+                        raw_prologue: bool = False):
     """Custom-VJP fused layer frontend (LN + ReLU + source transforms + dual
     attention). Differentiable in (e, ln scale/bias, both source
     kernels/biases, both attention vectors, both query tables).
@@ -1401,7 +1420,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
             interpret=interpret, finalize=edge_axis is None, mm=mm,
-            packed=packed,
+            packed=packed, raw_prologue=raw_prologue,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -1458,6 +1477,7 @@ def make_fused_frontend(Hp: int, Hc: int, eps: float, mm: str = "f32",
             e, lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, nlive, mdp, mdc, outp, outc, gp, gc, gen,
             W, Wc, Hp, Hc, slope, eps, interpret=interpret, mm=mm, packed=packed,
+            raw_prologue=raw_prologue,
         )
         visited = jnp.zeros((s_pad // W,), dtype=bool).at[wb].set(True)
         dxrp_full = jnp.where(jnp.repeat(visited, W)[:, None], dxrp_full, 0.0)
@@ -1477,7 +1497,7 @@ _FRONT_CACHE = {}
 def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
                    att_p, att_c, pids2d, cids2d, wb, n_pts, n_cams, W, Wc,
                    slope=0.2, interpret=False, edge_axis=None, packed=False,
-                   nlive=None):
+                   nlive=None, raw_prologue=False):
     """LN + ReLU + both GATv2 source transforms + dual attention, fused.
 
     e: (E, De) RAW edge features — or lane-packed (E/PACK, PACK*De) when
@@ -1492,7 +1512,7 @@ def fused_frontend(Hp, Hc, eps, e, lng, lnb, wlp, blp, wlc, blc, xr_p, xr_c,
     from gasfm_tpu.ops.segment import is_table_sharded
 
     key = (Hp, Hc, float(eps), get_kernel_precision(), packed,
-           is_table_sharded())
+           is_table_sharded(), raw_prologue)
     fn = _FRONT_CACHE.get(key)
     if fn is None:
         fn = make_fused_frontend(*key)
