@@ -147,6 +147,11 @@ def main():
     # (train/state.py). GASFM_ADAM_MU_DTYPE=f32 restores parity numerics.
     if os.environ.get("GASFM_ADAM_MU_DTYPE", "bf16") == "bf16":
         conf.put("train.adam_mu_dtype", "bf16")
+    # bf16 second-moment storage (train.adam_nu_dtype, _scale_by_adam_cast):
+    # another ~0.9 GB/step of optimizer traffic halved; ~0.7% relative update
+    # rounding (tests/test_train_components.py), bench fast-config only.
+    if os.environ.get("GASFM_ADAM_NU_DTYPE", "bf16") == "bf16":
+        conf.put("train.adam_nu_dtype", "bf16")
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)

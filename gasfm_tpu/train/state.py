@@ -27,6 +27,50 @@ class TrainState:
     step: Any  # () int32
 
 
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype=None, nu_dtype=None):
+    """optax.scale_by_adam with an additional ``nu_dtype`` (second-moment
+    storage dtype). Bit-matches optax's update math (debiased moments,
+    eps outside the sqrt, torch.optim.Adam parity — reference train.py:437)
+    when both dtypes are None; the casts happen at state-store time only,
+    accumulation runs in the gradient dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    def _cast(tree, dtype):
+        if dtype is None:
+            return tree
+        return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+    def init(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(g.dtype) + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1.0 - b2) * (g * g), state.nu, updates
+        )
+        count = optax.safe_increment(state.count)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        return out, optax.ScaleByAdamState(
+            count=count, mu=_cast(mu, mu_dtype), nu=_cast(nu, nu_dtype)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTransformation, Callable]:
     """Adam + per-batch LR schedule + optional grad clipping.
 
@@ -50,14 +94,28 @@ def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTrans
     # OFF by default — it perturbs optimizer numerics (the reference uses
     # f32 torch Adam).
     mu_dtype = conf.get_string("train.adam_mu_dtype", default=None)
+    nu_dtype = conf.get_string("train.adam_nu_dtype", default=None)
     import jax.numpy as jnp
 
-    chain.append(
-        optax.adam(
-            learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
-            mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+    if nu_dtype == "bf16":
+        # optax has no nu_dtype; use the faithful clone below. Bench-only
+        # fast configuration (second-moment storage halves at ~0.4% relative
+        # sqrt(nu) rounding); production default stays f32.
+        chain.append(
+            _scale_by_adam_cast(
+                b1=0.9, b2=0.999, eps=1e-8,
+                mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+                nu_dtype=jnp.bfloat16,
+            )
         )
-    )
+        chain.append(optax.scale_by_learning_rate(schedule))
+    else:
+        chain.append(
+            optax.adam(
+                learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+                mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+            )
+        )
     return optax.chain(*chain), schedule
 
 

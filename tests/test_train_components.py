@@ -176,3 +176,52 @@ class TestTrainLoopResume:
             trained2, _ = train(conf, loader, model, params, Phases.OPTIMIZATION)
         assert "resumed at epoch 4" in buf.getvalue()
         obs.reset_tb_writer()
+
+
+class TestAdamNuDtype:
+    """_scale_by_adam_cast: optax.adam parity in f32, bounded drift in bf16."""
+
+    def _conf(self, extra=""):
+        return ConfigFactory.parse_string(
+            'train { lr = 0.001, lr_schedule { lr_warmup_n_steps = 0, '
+            'main_scheduler = "constant" } %s }' % extra
+        )
+
+    def test_f32_clone_bit_matches_optax_adam(self):
+        import optax
+
+        from gasfm_tpu.train.state import _scale_by_adam_cast, build_optimizer
+
+        params = {"a": jnp.arange(12.0).reshape(3, 4) / 7.0, "b": jnp.ones((5,))}
+        g = {"a": jnp.cos(params["a"]), "b": -0.3 * jnp.ones((5,))}
+        ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        mine = _scale_by_adam_cast(0.9, 0.999, 1e-8)
+        s_r, s_m = ref.init(params), mine.init(params)
+        for _ in range(5):
+            u_r, s_r = ref.update(g, s_r, params)
+            u_m, s_m = mine.update(g, s_m, params)
+            for k in u_r:
+                np.testing.assert_array_equal(np.asarray(u_r[k]), np.asarray(u_m[k]))
+
+        # Conf-built chain applies the descent sign.
+        tx, _ = build_optimizer(self._conf(', adam_nu_dtype = "bf16"'))
+        st = tx.init(params)
+        u, st = tx.update(g, st, params)
+        assert float(u["a"][0, 0]) < 0  # positive gradient -> negative update
+        assert st[0].nu["a"].dtype == jnp.bfloat16
+
+    def test_bf16_nu_tracks_f32(self):
+        from gasfm_tpu.train.state import _scale_by_adam_cast
+
+        params = {"a": jnp.arange(12.0).reshape(3, 4) / 7.0}
+        g = {"a": jnp.cos(params["a"])}
+        f32 = _scale_by_adam_cast(0.9, 0.999, 1e-8)
+        bf = _scale_by_adam_cast(0.9, 0.999, 1e-8, nu_dtype=jnp.bfloat16)
+        s_f, s_b = f32.init(params), bf.init(params)
+        for _ in range(20):
+            u_f, s_f = f32.update(g, s_f, params)
+            u_b, s_b = bf.update(g, s_b, params)
+        rel = np.abs(np.asarray(u_b["a"]) - np.asarray(u_f["a"])) / (
+            np.abs(np.asarray(u_f["a"])) + 1e-8
+        )
+        assert rel.max() < 0.02
