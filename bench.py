@@ -152,6 +152,15 @@ def main():
     # rounding (tests/test_train_components.py), bench fast-config only.
     if os.environ.get("GASFM_ADAM_NU_DTYPE", "bf16") == "bf16":
         conf.put("train.adam_nu_dtype", "bf16")
+    # Mixed-precision weight storage (train.param_dtype + f32 master in the
+    # optimizer state, train/state._with_f32_master) is implemented and
+    # tested but NOT the bench default: on this runtime the ~700 small
+    # weight matmuls are per-op-overhead-bound, not bandwidth-bound, so
+    # halving their bytes saves ~0.2 ms while the master-Adam path costs
+    # ~0.8 ms of extra passes — a measured net regression (BENCHLOG
+    # section 31). GASFM_PARAM_DTYPE=bf16 enables it.
+    if os.environ.get("GASFM_PARAM_DTYPE", "f32") == "bf16":
+        conf.put("train.param_dtype", "bf16")
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)
@@ -175,7 +184,10 @@ def main():
     # compiles once. The scene is ALWAYS passed as an argument, never closed
     # over — closure device arrays get embedded as HLO constants at lowering
     # time, each costing a multi-second device->host readback on this runtime.
+    from gasfm_tpu.train.state import cast_params_for_training
+
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
+    params = cast_params_for_training(conf, params)
     opt_state = tx.init(params)
 
     STEPS_PER_CALL = 128

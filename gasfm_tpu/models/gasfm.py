@@ -103,6 +103,16 @@ class GraphAttnSfMNet(nn.Module):
         import os as _os
 
         use_merged = use_packed and _os.environ.get("GASFM_MERGED", "1") != "0"
+        # Will the final aggregation run as the no-LN fused frontend on the
+        # packed stream (see `final_raw` below)? Known statically here, so
+        # the LAST layer can defer its update into that launch too.
+        final_raw_plan = (
+            use_packed
+            and self.num_layers > 1
+            and not self.depth_head_enabled
+            and (self.view_head_enabled or self.scenepoint_head_enabled)
+            and _os.environ.get("GASFM_FINAL_RAW", "1") != "0"
+        )
         skip_init_packed = (
             pack_edges(skip_init, CHUNK).astype(stream_dtype())
             if (use_packed and skip_init is not None)
@@ -133,7 +143,9 @@ class GraphAttnSfMNet(nn.Module):
                 use_packed and i + 1 < self.num_layers
                 and next_proj_out == self.n_feat_proj
             )
-            defer = use_merged and layer_packed and next_packed
+            defer = use_merged and layer_packed and (
+                next_packed or (last and final_raw_plan)
+            )
             if layer_packed and not e_packed:
                 e = pack_edges(e, CHUNK).astype(stream_dtype())
                 e_packed = True
@@ -182,12 +194,7 @@ class GraphAttnSfMNet(nn.Module):
         # packed and run the no-LN fused frontend there (raw_frontend) — the
         # unpack relayout and the composite per-edge source transforms
         # disappear. Identical semantics either way.
-        final_raw = (
-            e_packed
-            and not self.depth_head_enabled
-            and (self.view_head_enabled or self.scenepoint_head_enabled)
-            and _os.environ.get("GASFM_FINAL_RAW", "1") != "0"
-        )
+        final_raw = e_packed and final_raw_plan
         if e_packed and not final_raw:
             e = unpack_edges(e, CHUNK).astype(jnp.float32)
             e_packed = False

@@ -70,7 +70,18 @@ class TorchDense(nn.Module):
         in_dim = x.shape[-1]
         bound = 1.0 / math.sqrt(in_dim)
         kernel = self.param("kernel", _torch_uniform_init(bound), (in_dim, self.features))
-        y = x @ kernel
+        if kernel.dtype == jnp.bfloat16:
+            # bf16 param storage (train.param_dtype): run the dot natively in
+            # bf16 with f32 accumulation — a promoted f32 x bf16 dot would
+            # materialize an f32 copy of the kernel per use, re-paying the
+            # weight traffic the bf16 storage is meant to halve.
+            y = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), kernel,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", _torch_uniform_init(bound), (self.features,))
             y = y + bias
@@ -602,15 +613,31 @@ class GraphAttnGlobalFeatureUpdate(nn.Module):
             wlp, blp, att_p = proj2scenepoint.src_params()
             wlc, blc, att_c = proj2view.src_params()
             De = self.n_feat_proj_in
-            _, agg_p, agg_c = gatv2_layer_frontend(
-                x_edges, jnp.ones((De,), jnp.float32), jnp.zeros((De,), jnp.float32),
-                LN_EPS,
-                wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
-                graph.pt_segment_windows(),
-                wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
-                edge_mask=graph.edge_mask, packed=self.packed_edges,
-                raw_prologue=True,
-            )
+            dummy_s = jnp.ones((De,), jnp.float32)
+            dummy_b = jnp.zeros((De,), jnp.float32)
+            if isinstance(x_edges, PendingUpdate):
+                # The LAST layer deferred its projection update: materialize
+                # it AND run the final aggregation in one merged Pallas
+                # launch (no LN — raw_prologue).
+                from gasfm_tpu.ops.gatv2 import merged_layer_frontend
+
+                assert self.packed_edges
+                _, _, agg_p, agg_c = merged_layer_frontend(
+                    x_edges, dummy_s, dummy_b, LN_EPS,
+                    wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                    graph.pt_segment_windows(),
+                    wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                    edge_mask=graph.edge_mask, raw_prologue=True,
+                )
+            else:
+                _, agg_p, agg_c = gatv2_layer_frontend(
+                    x_edges, dummy_s, dummy_b, LN_EPS,
+                    wlp, blp, att_p, xr_p, graph.pt_idx, graph.num_pts,
+                    graph.pt_segment_windows(),
+                    wlc, blc, att_c, xr_c, graph.cam_idx, graph.num_cams,
+                    edge_mask=graph.edge_mask, packed=self.packed_edges,
+                    raw_prologue=True,
+                )
         else:
             xl_p, xr_p, att_p = proj2scenepoint.prepare(
                 x_edges, graph.num_pts, prev_scenepoint_features
@@ -724,6 +751,12 @@ class ProjectionFeatureUpdate(nn.Module):
             kernel, bias = DenseParams(
                 self.n_feat_proj_out, De + D2, name="lin_proj"
             )()
+            # Pallas refs reject mixed dtypes: under bf16 param storage
+            # (train.param_dtype) upcast the weight-side operands; the
+            # convert fuses into the operand read (ops/gatv2._opf32).
+            kernel = kernel.astype(jnp.float32)
+            bias = bias.astype(jnp.float32)
+            ps, pv, pg = (x.astype(jnp.float32) for x in (ps, pv, pg))
             w_e = kernel[:De]
             w_uv = kernel[De:] if D2 else None
             if defer:

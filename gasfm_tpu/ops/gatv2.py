@@ -45,6 +45,17 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _opf32(x):
+    """Upcast a small (non-edge-stream) kernel operand to f32. Mixed-dtype
+    Pallas refs are rejected, and under bf16 param storage
+    (``train.param_dtype``, train/state._with_f32_master) weight-side
+    operands arrive bfloat16; the convert fuses into the operand read, and
+    the transpose of the convert casts the f32 cotangent back to bf16."""
+    if x is None or x.dtype == jnp.float32:
+        return x
+    return x.astype(jnp.float32)
+
+
 def gatv2_attend_pool(
     xl: jnp.ndarray,  # (E, H, C) transformed source features
     xr0: jnp.ndarray,  # (1, H, C) transformed query features of THE segment
@@ -120,7 +131,8 @@ def gatv2_attend(
     """Returns (S, H, C) attention-aggregated source features per segment."""
     E, H, C = xl.shape
     xl2 = xl.reshape(E, H * C)
-    xr2 = xr.reshape(num_segments, H * C)
+    xr2 = _opf32(xr.reshape(num_segments, H * C))
+    att = _opf32(att)
 
     # Fused single-kernel path (TPU): the whole attention — query gather,
     # logits, online segment softmax, weighted aggregation — runs as ONE
@@ -223,6 +235,7 @@ def gatv2_attend_dual(
     E = xl_p.shape[0]
     Hp, Cp = xl_p.shape[1], xl_p.shape[2]
     Hc, Cc = xl_c.shape[1], xl_c.shape[2]
+    xr_p, xr_c, att_p, att_c = map(_opf32, (xr_p, xr_c, att_p, att_c))
     if (
         _kernels_enabled()
         and window is not None
@@ -317,6 +330,9 @@ def gatv2_layer_frontend(
     the returned e_norm is the raw stream itself."""
     from gasfm_tpu.ops.segment import current_edge_axis
 
+    ln_scale, ln_bias, wlp, blp, wlc, blc, att_p, att_c, xr_p, xr_c = map(
+        _opf32, (ln_scale, ln_bias, wlp, blp, wlc, blc, att_p, att_c, xr_p, xr_c)
+    )
     if packed:
         from gasfm_tpu.ops.pallas.packing import PACK
 
@@ -388,6 +404,7 @@ def merged_layer_frontend(
     wlp, blp, att_p, xr_p, pt_ids, num_pts, window,
     wlc, blc, att_c, xr_c, cam_ids, num_cams,
     edge_mask=None, negative_slope: float = 0.2,
+    raw_prologue: bool = False,
 ):
     """The merged inter-layer step: materialize the previous layer's
     deferred projection update AND run THIS layer's fused frontend in one
@@ -400,6 +417,13 @@ def merged_layer_frontend(
     from gasfm_tpu.ops.pallas.fused_layer_step import fused_layer_step
     from gasfm_tpu.ops.segment import current_edge_axis
 
+    ln_scale, ln_bias, wlp, blp, wlc, blc, att_p, att_c, xr_p, xr_c = map(
+        _opf32, (ln_scale, ln_bias, wlp, blp, wlc, blc, att_p, att_c, xr_p, xr_c)
+    )
+    pending = pending._replace(
+        w_e=_opf32(pending.w_e), b=_opf32(pending.b), w_uv=_opf32(pending.w_uv),
+        ps=_opf32(pending.ps), pv=_opf32(pending.pv), pg=_opf32(pending.pg),
+    )
     Hp, Cp = xr_p.shape[1], xr_p.shape[2]
     Hc, Cc = xr_c.shape[1], xr_c.shape[2]
     De = ln_scale.shape[-1]
@@ -424,6 +448,7 @@ def merged_layer_frontend(
         num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
         edge_axis=current_edge_axis(),
         nlive=window.nlive if edge_mask is not None else None,
+        raw_prologue=raw_prologue,
     )
     if window.row_ok is not None:
         out_p2 = jnp.where(window.row_ok[:, None], out_p2, 0.0)

@@ -73,6 +73,7 @@ def _fwd_kernel(
     en_ref, *rest,
     W: int, Wc: int, HP: int, slope: float, eps: float,
     finalize: bool, mm_dtype, has_skip: bool, has_res: bool,
+    raw_prologue: bool = False,
 ):
     i = 0
     skip2_ref = rest[i] if has_skip else None
@@ -194,19 +195,26 @@ def _fwd_kernel(
         # one cheap matmul instead of a log-step VPU shuffle chain — the
         # single largest item of the round-4 forward ablation
         # (scripts/merged_ablate.py: -1.9 us of 7.3 us/chunk).
-        ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
-        mean = jax.lax.dot_general(
-            e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        var = jax.lax.dot_general(
-            e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) - mean * mean
-        xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
-        xn = xhat * lng_ref[:] + lnb_ref[:]
-        en = jnp.maximum(xn, 0.0)
-        ennext_ref[:] = repack_tile(en).astype(ennext_ref.dtype)
+        if raw_prologue:
+            # No LN / ReLU: the frontend consumes the freshly materialized
+            # e_l raw — the final-aggregation semantics (see
+            # fused_dual_attn raw_prologue).
+            en = e_l
+            ennext_ref[:] = el_ref[:]
+        else:
+            ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+            mean = jax.lax.dot_general(
+                e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            var = jax.lax.dot_general(
+                e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - mean * mean
+            xhat = (e_l - mean) * jax.lax.rsqrt(var + eps)
+            xn = xhat * lng_ref[:] + lnb_ref[:]
+            en = jnp.maximum(xn, 0.0)
+            ennext_ref[:] = repack_tile(en).astype(ennext_ref.dtype)
         xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
 
         z_pc = xl_pc + gath[:, 0:Dpc]
@@ -298,6 +306,7 @@ def _bwd_kernel(
     en_ref, *rest,
     W: int, Wc: int, HP: int, slope: float, eps: float,
     mm_dtype, has_skip: bool, has_res: bool,
+    raw_prologue: bool = False,
 ):
     # Direction-stacked passes, mirroring _fwd_kernel: ONE per-edge gather
     # over a column-disjoint (W+Wc, 2*Dpc+HP) per-window operand
@@ -408,6 +417,7 @@ def _bwd_kernel(
             dlnb_ref, dwlpc_ref, dblpc_ref, dxrp_ref, dxrc_ref, dattpc_ref,
             pack_scr, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
             mm_dtype=mm_dtype, has_skip=has_skip, has_res=has_res,
+            raw_prologue=raw_prologue,
         )
 
 
@@ -419,6 +429,7 @@ def _bwd_body(
     dps_ref, dpv_ref, dwe_ref, dwuv_ref, dsum_ref, dlng_ref,
     dlnb_ref, dwlpc_ref, dblpc_ref, dxrp_ref, dxrc_ref, dattpc_ref,
     pack_scr, *, W, Wc, HP, slope, eps, mm_dtype, has_skip, has_res,
+    raw_prologue=False,
 ):
     De = wlpc_ref.shape[0]
     Dpc = wlpc_ref.shape[1]
@@ -431,19 +442,22 @@ def _bwd_body(
     e_l = unpack_tile(el_ref[:].astype(jnp.float32))  # (CHUNK, De)
     # Lane means as all-ones/De MXU passes (see _fwd_kernel's LN note) —
     # the broadcast across lanes comes for free with the matmul.
-    ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
-    mean = jax.lax.dot_general(
-        e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    var = jax.lax.dot_general(
-        e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (e_l - mean) * rstd
-    xn = xhat * lng_ref[:] + lnb_ref[:]
-    en = jnp.maximum(xn, 0.0)
+    if raw_prologue:
+        en = e_l
+    else:
+        ones_dd = jnp.full((De, De), 1.0 / De, jnp.float32)
+        mean = jax.lax.dot_general(
+            e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        var = jax.lax.dot_general(
+            e_l * e_l, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (e_l - mean) * rstd
+        xn = xhat * lng_ref[:] + lnb_ref[:]
+        en = jnp.maximum(xn, 0.0)
     xl_pc = jnp.dot(en, wlpc_ref[:], preferred_element_type=jnp.float32) + blpc_ref[:]
 
     local_row = _id_row(pids_ref, c) - wb * W
@@ -505,19 +519,24 @@ def _bwd_body(
     )
     dblpc_ref[0:1, :] += jnp.sum(dxl_pc, axis=0, keepdims=True)
 
-    d_xn = jnp.where(xn > 0, d_en, 0.0)
-    dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
-    dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
-    d_xhat = d_xn * lng_ref[:]
-    mean_dxhat = jax.lax.dot_general(
-        d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    mean_dxhat_xhat = jax.lax.dot_general(
-        d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    d_el = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    if raw_prologue:
+        # en == e_l: the frontend cotangent passes straight through (the LN
+        # params are dummies; their grads stay at zero initialization).
+        d_el = d_en
+    else:
+        d_xn = jnp.where(xn > 0, d_en, 0.0)
+        dlng_ref[0:1, :] += jnp.sum(d_xn * xhat, axis=0, keepdims=True)
+        dlnb_ref[0:1, :] += jnp.sum(d_xn, axis=0, keepdims=True)
+        d_xhat = d_xn * lng_ref[:]
+        mean_dxhat = jax.lax.dot_general(
+            d_xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_dxhat_xhat = jax.lax.dot_general(
+            d_xhat * xhat, ones_dd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_el = rstd * (d_xhat - mean_dxhat - xhat * mean_dxhat_xhat)
     d_el += unpack_tile(gel_ref[:].astype(jnp.float32))  # downstream cotangent of e_l
 
     # ---- update backward (from the total e_l cotangent).
@@ -576,12 +595,12 @@ def _pad_ids(pids2d, cids2d):
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "Wc", "Hp", "Hc", "slope", "eps", "interpret", "finalize", "mm",
-    "has_skip", "has_res"))
+    "has_skip", "has_res", "raw_prologue"))
 def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
              lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
              pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
              interpret=False, finalize=True, mm="f32",
-             has_skip=True, has_res=True):
+             has_skip=True, has_res=True, raw_prologue=False):
     rows, pde = en_p.shape
     De = pde // PACK
     E = rows * PACK
@@ -667,7 +686,8 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
                           finalize=finalize, mm_dtype=mm_dtype,
-                          has_skip=has_skip, has_res=has_res),
+                          has_skip=has_skip, has_res=has_res,
+                          raw_prologue=raw_prologue),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, PACK * De), en_p.dtype),
@@ -683,12 +703,13 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "Wc", "Hp", "Hc", "slope", "eps", "interpret", "mm",
-    "has_skip", "has_res"))
+    "has_skip", "has_res", "raw_prologue"))
 def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
              lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
              mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
              pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
-             interpret=False, mm="f32", has_skip=True, has_res=True):
+             interpret=False, mm="f32", has_skip=True, has_res=True,
+             raw_prologue=False):
     rows, pde = en_p.shape
     De = pde // PACK
     E = rows * PACK
@@ -818,7 +839,8 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, W=W, Wc=Wc, HP=HP, slope=slope, eps=eps,
-                          mm_dtype=mm_dtype, has_skip=has_skip, has_res=has_res),
+                          mm_dtype=mm_dtype, has_skip=has_skip, has_res=has_res,
+                          raw_prologue=raw_prologue),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
@@ -827,7 +849,8 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
 
 def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
                           has_skip: bool, has_res: bool,
-                          table_sharded: bool = False):
+                          table_sharded: bool = False,
+                          raw_prologue: bool = False):
     """Custom-VJP merged layer step, statically specialized.
 
     Differentiable in every array argument; ids return None cotangents.
@@ -867,7 +890,7 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             lng, lnb, wlp, blp, wlc, blc, xr_p_pad, xr_c_pad, att_p, att_c,
             pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
             interpret=interpret, finalize=edge_axis is None, mm=mm,
-            has_skip=has_skip, has_res=has_res,
+            has_skip=has_skip, has_res=has_res, raw_prologue=raw_prologue,
         )
         if edge_axis is not None:
             HP = _round_up(Hp + Hc, 8)
@@ -933,6 +956,7 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
             mdp, mdc, outp, outc, gp, gc, gen_p, gel_p,
             pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
             interpret=interpret, mm=mm, has_skip=has_skip, has_res=has_res,
+            raw_prologue=raw_prologue,
         )
         i = 0
         den_p = outs[i]
@@ -981,7 +1005,7 @@ def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
                      ps, pv, pg, lng, lnb, wlp, blp, wlc, blc,
                      xr_p, xr_c, att_p, att_c, pids2d, cids2d, wb,
                      n_pts, n_cams, W, Wc, slope=0.2, interpret=False,
-                     edge_axis=None, nlive=None):
+                     edge_axis=None, nlive=None, raw_prologue=False):
     """Dispatch for the merged update+frontend step (see module docstring).
 
     en_p: (E/PACK, PACK*De) packed normalized stream of the PREVIOUS layer;
@@ -996,7 +1020,8 @@ def fused_layer_step(Hp, Hc, eps, en_p, skip2_p, res_p, w_e, b, w_uv,
     from gasfm_tpu.ops.segment import is_table_sharded
 
     key = (Hp, Hc, float(eps), get_kernel_precision(),
-           skip2_p is not None, res_p is not None, is_table_sharded())
+           skip2_p is not None, res_p is not None, is_table_sharded(),
+           raw_prologue)
     fn = _CACHE.get(key)
     if fn is None:
         fn = make_fused_layer_step(*key)

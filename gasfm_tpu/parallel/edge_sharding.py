@@ -40,6 +40,7 @@ from gasfm_tpu.graph.view_graph import SceneGraph, ViewGraph
 from gasfm_tpu.losses import get_loss_func
 from gasfm_tpu.ops.segment import edge_partitioned, table_sharded
 from gasfm_tpu.train.state import build_optimizer
+from gasfm_tpu.train.state import apply_param_updates
 
 DATA_AXIS = "data"
 EDGE_AXIS = "edge"
@@ -323,7 +324,7 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
         grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
         grad_norm = _optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = _optax.apply_updates(params, updates)
+        params = apply_param_updates(params, updates, opt_state)
         return params, opt_state, loss, repro, n_valid, grad_norm
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)
@@ -437,7 +438,7 @@ def make_sharded_train_step(conf, model, mesh: Mesh):
         loss = jax.lax.psum(loss, DATA_AXIS)
         grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = apply_param_updates(params, updates, opt_state)
         return params, opt_state, loss
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)

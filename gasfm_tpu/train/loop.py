@@ -52,6 +52,7 @@ from gasfm_tpu.utils.observability import (
 )
 from gasfm_tpu.utils.paths import get_additional_identifiers_for_outlier_injection
 from gasfm_tpu.utils.phases import Phases
+from gasfm_tpu.train.state import apply_param_updates
 
 
 def _is_oom_error(e: BaseException) -> bool:
@@ -144,7 +145,7 @@ class TrainingSession:
         def _update(params, opt_state, grads):
             grad_norm = optax.global_norm(grads)
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            new_params = apply_param_updates(params, updates, new_opt_state)
             return new_params, new_opt_state, grad_norm
 
         self._update_fn = jax.jit(_update, donate_argnums=(0, 1))
@@ -165,7 +166,7 @@ class TrainingSession:
             (loss, pred), grads = jax.value_and_grad(_loss, has_aux=True)(params, scene)
             grad_norm = optax.global_norm(grads)
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            new_params = apply_param_updates(params, updates, new_opt_state)
             from gasfm_tpu.eval.metrics import core_errors_device as _ced
 
             core = _ced(pred, scene)

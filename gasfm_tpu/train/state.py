@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import optax
@@ -71,6 +71,63 @@ def _scale_by_adam_cast(b1, b2, eps, mu_dtype=None, nu_dtype=None):
     return optax.GradientTransformation(init, update)
 
 
+class MasterWeightState(NamedTuple):
+    master: Any  # f32 master copy of the params
+    inner: Any  # wrapped transformation's state
+
+
+def _with_f32_master(inner: "optax.GradientTransformation"):
+    """Mixed-precision wrapper: the MODEL params are carried in bf16 (halving
+    the forward/backward/gradient weight streaming), while the optimizer
+    steps an f32 master copy kept inside the optimizer state.
+
+    NOT the optax ``updates`` convention: ``update`` returns the NEW bf16
+    params directly (casting the stepped master), and the step builders land
+    them via :func:`apply_param_updates`. Returning a delta for
+    ``optax.apply_updates`` would cost an extra read-modify-write round trip
+    over the whole tree (~0.9 GB/step on the 109M-param flagship, measured
+    as a net bench REGRESSION). Gradients arrive bf16 (cotangent dtype
+    follows the primal) and are upcast before the inner transformation."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        master = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+        return MasterWeightState(master=master, inner=inner.init(master))
+
+    def update(updates, state, params=None):
+        del params
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), updates)
+        upd32, inner_state = inner.update(g32, state.inner, state.master)
+        master = optax.apply_updates(state.master, upd32)
+        new_params = jax.tree_util.tree_map(
+            lambda m: m.astype(jnp.bfloat16), master
+        )
+        return new_params, MasterWeightState(master=master, inner=inner_state)
+
+    return optax.GradientTransformation(init, update)
+
+
+def apply_param_updates(params, updates, opt_state):
+    """``optax.apply_updates`` that understands the f32-master wrapper: with
+    a :class:`MasterWeightState` the ``updates`` ARE the new bf16 params
+    (see :func:`_with_f32_master`); otherwise the usual additive update."""
+    if isinstance(opt_state, MasterWeightState):
+        return updates
+    return optax.apply_updates(params, updates)
+
+
+def cast_params_for_training(conf, params):
+    """Apply ``train.param_dtype`` to a freshly initialized param tree
+    (bf16 -> carry the model weights in bfloat16; see _with_f32_master)."""
+    if conf.get_string("train.param_dtype", default=None) == "bf16":
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    return params
+
+
 def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTransformation, Callable]:
     """Adam + per-batch LR schedule + optional grad clipping.
 
@@ -116,11 +173,15 @@ def build_optimizer(conf, milestone_shift: int = 0) -> Tuple[optax.GradientTrans
                 mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
             )
         )
-    return optax.chain(*chain), schedule
+    tx = optax.chain(*chain)
+    if conf.get_string("train.param_dtype", default=None) == "bf16":
+        tx = _with_f32_master(tx)
+    return tx, schedule
 
 
 def create_train_state(conf, params, milestone_shift: int = 0) -> Tuple[TrainState, optax.GradientTransformation, Callable]:
     tx, schedule = build_optimizer(conf, milestone_shift=milestone_shift)
+    params = cast_params_for_training(conf, params)
     opt_state = tx.init(params)
     import jax.numpy as jnp
 

@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import optax
+from gasfm_tpu.train.state import apply_param_updates
 
 
 def make_run_steps(model, loss_func, tx):
@@ -34,7 +35,7 @@ def make_run_steps(model, loss_func, tx):
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = apply_param_updates(params, updates, opt_state)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(

@@ -225,3 +225,91 @@ class TestAdamNuDtype:
             np.abs(np.asarray(u_f["a"])) + 1e-8
         )
         assert rel.max() < 0.02
+
+
+class TestMixedPrecisionParams:
+    """train.param_dtype=bf16: bf16 model params, f32 master in opt state."""
+
+    def _conf(self):
+        return ConfigFactory.parse_string(
+            'train { lr = 0.01, lr_schedule { lr_warmup_n_steps = 0, '
+            'main_scheduler = "constant" }, param_dtype = "bf16" }'
+        )
+
+    def test_params_land_on_bf16_master(self):
+        import optax
+
+        from gasfm_tpu.train.state import (
+            apply_param_updates,
+            build_optimizer,
+            cast_params_for_training,
+        )
+
+        conf = self._conf()
+        p0 = {"a": jnp.arange(12.0).reshape(3, 4) / 7.0 + 0.5}
+        g = {"a": jnp.cos(p0["a"])}
+        tx, _ = build_optimizer(conf)
+        pb = cast_params_for_training(conf, p0)
+        assert pb["a"].dtype == jnp.bfloat16
+        st = tx.init(pb)
+        assert st.master["a"].dtype == jnp.float32
+        for _ in range(10):
+            u, st = tx.update(g, st, pb)
+            pb = apply_param_updates(pb, u, st)
+        np.testing.assert_array_equal(
+            np.asarray(pb["a"]), np.asarray(st.master["a"].astype(jnp.bfloat16))
+        )
+
+        # And the master tracks a plain f32 Adam on the same gradients.
+        conf32 = ConfigFactory.parse_string(
+            'train { lr = 0.01, lr_schedule { lr_warmup_n_steps = 0, '
+            'main_scheduler = "constant" } }'
+        )
+        tx32, _ = build_optimizer(conf32)
+        p32, st32 = dict(p0), tx32.init(p0)
+        for _ in range(10):
+            u32, st32 = tx32.update(g, st32, p32)
+            p32 = optax.apply_updates(p32, u32)
+        rel = np.abs(np.asarray(st.master["a"]) - np.asarray(p32["a"])).max()
+        rel /= np.abs(np.asarray(p32["a"])).max()
+        assert rel < 0.01
+
+    def test_full_model_step_runs_bf16(self):
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.losses import get_loss_func
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.state import (
+            apply_param_updates,
+            build_optimizer,
+            cast_params_for_training,
+        )
+        from __graft_entry__ import _flagship_conf
+
+        conf = _flagship_conf(small=True)
+        conf.put("train.param_dtype", "bf16")
+        model = get_model(conf)
+        loss_func = get_loss_func(conf)
+        data = generate_synthetic_scene(n_views=8, n_points=64, seed=0)
+        scene = data.to_scene_graph()
+        params = model.init(jax.random.PRNGKey(0), scene.graph)
+        params = cast_params_for_training(conf, params)
+        tx, _ = build_optimizer(conf)
+        st = tx.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(q):
+                return loss_func(model.apply(q, scene.graph), scene)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            u, s = tx.update(g, s, p)
+            return apply_param_updates(p, u, s), s, loss
+
+        l0 = None
+        for _ in range(3):
+            params, st, loss = step(params, st)
+            assert np.isfinite(float(loss))
+            l0 = float(loss) if l0 is None else l0
+        assert all(
+            x.dtype == jnp.bfloat16 for x in jax.tree_util.tree_leaves(params)
+        )
