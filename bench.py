@@ -2,18 +2,30 @@
 
 Measures steady-state jitted train-step time (forward + backward + Adam) of
 the flagship GASFM architecture (9 layers, widths 32/64/1024/2048, 4 heads —
-reference confs/gasfm/optim_euc_gasfm.conf) on a large synthetic scene, and
+reference confs/gasfm/optim_euc_gasfm.conf) on two synthetic scenes and
 reports edge throughput:
 
     edges/s = valid_edges * steps / elapsed
 
+Headline metric: the dense uniform-visibility scene (m=128, n=8192, v=0.2).
+The JSON line additionally carries ``powerlaw_edges_per_s`` — the same step
+on a realistic short-track-length (truncated-Pareto) scene, the round-4
+verdict's "realistic-scene north star". Both scenes go through the
+production GraphBucketizer, which picks each scene's edge-chunk length
+automatically from its mean window run (view_graph.choose_chunk).
+
 ``vs_baseline`` is the fraction of a documented HBM-roofline estimate for
 the dominant per-edge data movement (see _roofline_edges_per_s below) — the
 BASELINE.md target is >= 0.70 of roofline. NOTE: the measured binding
-constraint is MXU throughput of the one-hot segment ops plus the
+constraint is the merged Pallas kernel's per-chunk cost plus the
 scene-independent optimizer traffic, not this roofline — the full bound
-analysis and per-op trace evidence live in BENCHLOG.md section 4; the
-denominator is kept for cross-round comparability.
+analysis lives in BENCHLOG.md sections 4/15/20/27-28 and the round-5
+"practical ceiling" note; the denominator is kept for cross-round
+comparability. ``vs_attainable`` compares against the honest attainable
+model whose kernel constant is MEASURED in-process each run
+(utils/kernel_cost.measure_merged_kernel_cost — round-4 verdict weak #2);
+``vs_roofline_measured`` uses the median-of-5 bandwidth probe of this chip
+instance (band reported as hbm_gbps_min/max).
 
 Prints ONE JSON line. Steps are batched inside a single jitted lax.scan so
 dispatch/tunnel latency does not pollute the measurement.
@@ -27,52 +39,36 @@ import time
 
 import numpy as np
 
-# CHUNK=1024 measured fastest at the bench scene (+7% over 512: per-chunk
-# fixed costs amortize; the packed streams freed the VMEM that made the
-# backward OOM at this chunk length in round 2; 2048 still fails to
-# compile — the FIRST unpacked layer's frontend backward exceeds the 16 MB
-# scoped-VMEM limit). Must be set before importing gasfm_tpu.
-os.environ.setdefault("GASFM_CHUNK", "1024")
-# bf16 storage for the packed inter-layer edge streams: the kernels are
-# STREAM-bound (BENCHLOG section 20), so halving the stream bytes is the
-# headline configuration (+4% measured; in-kernel math stays f32; the f32
-# default remains for bit-level reference parity — test_packed.py asserts
-# the bf16 path tracks f32 to rounding tolerance).
+# bf16 storage for the packed inter-layer edge streams: the boundary
+# kernels are STREAM-bound (BENCHLOG section 20), so halving the stream
+# bytes is part of the headline fast configuration (+4% measured;
+# in-kernel math stays f32; the f32 default remains for bit-level
+# reference parity — test_packed.py asserts the bf16 path tracks f32 to
+# rounding tolerance). Recorded in the JSON as fast_config.
 os.environ.setdefault("GASFM_STREAM_DTYPE", "bf16")
 
 
 def _attainable_edges_per_s(
-    n_valid_edges: int, e_cap: int, n_layers: int,
-    n_params: int, hbm_gbps: float,
+    n_valid_edges: int, n_live_chunks: int, n_layers: int,
+    n_params: int, kernel_s_per_chunk: float, hbm_gbps: float,
 ) -> float:
     """Honest attainable-throughput model at the bench shape (BENCHLOG
-    section 4 demanded by the round-2 verdict): the measured fused-kernel
+    section 4, demanded by the round-2 verdict): the measured merged-kernel
     bound plus the scene-independent parameter/optimizer traffic.
 
-    - Kernel bound: the step's edge work is one fused frontend + one fused
-      projection update per layer per LIVE chunk (the round-4 dead-chunk
-      skip removes all-padding chunks' compute, so the honest capacity is
-      the live-chunk count, not e_cap). Isolated scan-amortized
-      measurements (scripts/packed_microbench.py merged, v5e, CHUNK=1024,
-      Wc=128, packed layout, bf16 streams, 2026-08-21, AFTER the round-4
-      LN-via-matmul kernel change): merged layer-step fwd+bwd 10.68
-      us/chunk — 10.43 ns per edge slot per layer. Round 4 showed simple
-      kernels are STREAM-bound while the full merged kernels sit above the
-      stream floor (BENCHLOG sections 20/22/27-28); this constant is a
-      measured bound of the current kernel algorithm, not a hardware
-      roofline.
+    - Kernel bound: one merged layer-step (fwd+bwd) per layer per LIVE
+      chunk, at the per-chunk cost measured in THIS process on THIS chip
+      (utils/kernel_cost.measure_merged_kernel_cost) — a measured bound of
+      the current kernel algorithm, not a hardware roofline (the kernel
+      runs ~2x above its bf16 stream floor, BENCHLOG section 27).
     - Optimizer bound: Adam reads (p, m, v, grad) and writes (p, m, v) —
       7 x 4 bytes per parameter per step at HBM bandwidth.
 
-    Anything above this (XLA glue between kernels, the final update, loss,
-    relayout boundaries) is the remaining optimization headroom that
+    Anything above this (XLA glue between kernels, loss, heads, relayout
+    boundaries) is the remaining optimization headroom that
     ``vs_attainable`` exposes.
     """
-    # 10.68 us per 1024-edge merged-kernel chunk -> 10.4 ns per
-    # edge-capacity slot per layer (per-edge kernel cost is ~flat in
-    # CHUNK, measured).
-    KERNEL_NS_PER_EDGE_LAYER = 10.68 / 1024 * 1e3
-    kernel_s = e_cap * n_layers * KERNEL_NS_PER_EDGE_LAYER * 1e-9
+    kernel_s = n_live_chunks * n_layers * kernel_s_per_chunk
     adam_s = n_params * 4 * 7 / (hbm_gbps * 1e9)
     return n_valid_edges / (kernel_s + adam_s)
 
@@ -95,33 +91,37 @@ def _roofline_edges_per_s(
     return hbm_gbps * 1e9 / total_bytes_per_edge
 
 
-def _measure_hbm_gbps() -> float:
-    """Measured achievable HBM bandwidth of THIS chip instance (read-only
-    sum over 256 MB inside one jitted scan — BENCHLOG section 20: the
-    virtualized 'v5 lite' runtime delivers ~215-250 GB/s at these working
-    sets, far below the 819 GB/s v5e spec the vs_baseline roofline
-    assumes). Used for the honest `vs_roofline_measured` field."""
-    import time
-
+def _measure_scene(model, loss_func, tx, scene, steps_per_call=128, reps=3):
+    """Steady-state per-step time of the full train step on `scene`."""
     import jax
-    import jax.numpy as jnp
 
-    x = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    from gasfm_tpu.utils.benchstep import make_run_steps
 
-    K = 40  # amortizes the ~5 ms tunnel dispatch to ~0.1 ms/iter bias
+    from __graft_entry__ import _flagship_conf  # conf only for cast
 
-    @jax.jit
-    def red(a):
-        def body(c, _):
-            return c + jnp.sum(a) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
-        return c
+    # Jitted init: un-jitted flax init runs op-by-op, eagerly compiling ~270
+    # tiny XLA programs (~2 min over the tunneled runtime); one jitted
+    # program compiles once. The scene is ALWAYS passed as an argument,
+    # never closed over — closure device arrays get embedded as HLO
+    # constants at lowering time, each costing a multi-second device->host
+    # readback on this runtime.
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
+    from gasfm_tpu.train.state import cast_params_for_training
 
-    float(red(x))
-    t0 = time.perf_counter()
-    float(red(x))
-    dt = (time.perf_counter() - t0) / K
-    return 256 / 1024 / dt
+    params = cast_params_for_training(_flagship_conf(small=False), params)
+    opt_state = tx.init(params)
+
+    run_steps = make_run_steps(model, loss_func, tx)
+    _, _, l0 = run_steps(params, opt_state, scene, steps_per_call)
+    float(l0)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_steps(params, opt_state, scene, steps_per_call)[2])
+        times.append(time.perf_counter() - t0)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    return min(times) / steps_per_call, n_params
 
 
 def main():
@@ -136,103 +136,85 @@ def main():
     from gasfm_tpu.data.synthetic import generate_synthetic_scene
     from gasfm_tpu.losses import get_loss_func
     from gasfm_tpu.models import get_model
+    from gasfm_tpu.train.loop import GraphBucketizer
     from gasfm_tpu.train.state import build_optimizer
-    from gasfm_tpu.utils.benchstep import make_run_steps
 
     conf = _flagship_conf(small=False)
-    # bf16 first-moment Adam storage: the 110M-param Adam step is HBM-bound
-    # (~5.3 ms, BENCHLOG section 22); bf16 mu trims its traffic ~1 ms. Like
-    # the bf16 streams above, this is the bench's fast configuration — the
-    # production default stays f32 for reference-optimizer parity
-    # (train/state.py). GASFM_ADAM_MU_DTYPE=f32 restores parity numerics.
-    if os.environ.get("GASFM_ADAM_MU_DTYPE", "bf16") == "bf16":
+    # bf16 first/second-moment Adam storage: the 110M-param Adam step is
+    # HBM-bound (~5.3 ms, BENCHLOG section 22); bf16 mu+nu trim its traffic
+    # ~2 ms. Like the bf16 streams above, this is the bench's fast
+    # configuration — the production default stays f32 for reference-
+    # optimizer parity (train/state.py); BENCHLOG round-5 A/B-validates
+    # the fast config trains to equal final quality. The env vars restore
+    # parity numerics, and the JSON records which config ran (ADVICE r4).
+    mu_bf16 = os.environ.get("GASFM_ADAM_MU_DTYPE", "bf16") == "bf16"
+    nu_bf16 = os.environ.get("GASFM_ADAM_NU_DTYPE", "bf16") == "bf16"
+    if mu_bf16:
         conf.put("train.adam_mu_dtype", "bf16")
-    # bf16 second-moment storage (train.adam_nu_dtype, _scale_by_adam_cast):
-    # another ~0.9 GB/step of optimizer traffic halved; ~0.7% relative update
-    # rounding (tests/test_train_components.py), bench fast-config only.
-    if os.environ.get("GASFM_ADAM_NU_DTYPE", "bf16") == "bf16":
+    if nu_bf16:
         conf.put("train.adam_nu_dtype", "bf16")
-    # Mixed-precision weight storage (train.param_dtype + f32 master in the
-    # optimizer state, train/state._with_f32_master) is implemented and
-    # tested but NOT the bench default: on this runtime the ~700 small
-    # weight matmuls are per-op-overhead-bound, not bandwidth-bound, so
-    # halving their bytes saves ~0.2 ms while the master-Adam path costs
-    # ~0.8 ms of extra passes — a measured net regression (BENCHLOG
+    # Mixed-precision weight storage is implemented and tested but NOT the
+    # bench default: measured net regression on this runtime (BENCHLOG
     # section 31). GASFM_PARAM_DTYPE=bf16 enables it.
     if os.environ.get("GASFM_PARAM_DTYPE", "f32") == "bf16":
         conf.put("train.param_dtype", "bf16")
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)
+    bucketize = GraphBucketizer(conf)
 
-    # ~116k valid edges (m=128, n=8192): in the flat region of the measured
-    # scaling curve, with the Adam fixed cost (~5.6 ms on the 110M-param
-    # tree) amortized to ~13% of the step — see BENCHLOG.md sections 1-2.
-    # GASFM_BENCH_SCENE=powerlaw benches the realistic short-track-length
-    # distribution instead (BENCHLOG section 23; pair with GASFM_CHUNK=512).
-    if os.environ.get("GASFM_BENCH_SCENE") == "powerlaw":
-        data = generate_synthetic_scene(
-            n_views=133, n_points=24576, track_length_dist="powerlaw", seed=0
-        )
-    else:
-        data = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
-    scene = data.to_scene_graph()
-    n_edges = int(scene.graph.e_true)
+    # Headline scene: ~116k valid edges (m=128, n=8192, v=0.2) — flat region
+    # of the measured scaling curve, Adam fixed cost amortized to ~13% of
+    # the step (BENCHLOG sections 1-2). The bucketizer's chunk rule picks
+    # 1024 here (mean window run ~1800).
+    data_u = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
+    scene_u = bucketize(data_u)
+    n_edges_u = int(scene_u.graph.e_true)
+    step_u, n_params = _measure_scene(model, loss_func, tx, scene_u)
+    edges_per_s = n_edges_u / step_u
 
-    # Jitted init: un-jitted flax init runs op-by-op, eagerly compiling ~270
-    # tiny XLA programs (~2 min over the tunneled runtime); one jitted program
-    # compiles once. The scene is ALWAYS passed as an argument, never closed
-    # over — closure device arrays get embedded as HLO constants at lowering
-    # time, each costing a multi-second device->host readback on this runtime.
-    from gasfm_tpu.train.state import cast_params_for_training
-
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
-    params = cast_params_for_training(conf, params)
-    opt_state = tx.init(params)
-
-    STEPS_PER_CALL = 128
-
-    run_steps = make_run_steps(model, loss_func, tx)
-
-    # ONE compiled program (a second scan length would double the cold
-    # trace+compile time, risking the driver's timeout). With 128 steps per
-    # call at ~40 ms each, per-call dispatch overhead (~5 ms over the
-    # tunnel) biases the per-step time by well under 1%.
-    _, _, l0 = run_steps(params, opt_state, scene, STEPS_PER_CALL)
-    float(l0)
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run_steps(params, opt_state, scene, STEPS_PER_CALL)[2])
-        times.append(time.perf_counter() - t0)
-    step_time = min(times) / STEPS_PER_CALL
-    edges_per_s = n_edges / step_time
+    # Realistic scene: truncated-Pareto track lengths (~AlcatrazCourtyard
+    # shape, BENCHLOG section 23). The chunk rule picks 512 (run ~370).
+    data_p = generate_synthetic_scene(
+        n_views=133, n_points=24576, track_length_dist="powerlaw", seed=0
+    )
+    scene_p = bucketize(data_p)
+    n_edges_p = int(scene_p.graph.e_true)
+    step_p, _ = _measure_scene(model, loss_func, tx, scene_p)
+    powerlaw_edges_per_s = n_edges_p / step_p
 
     platform = jax.devices()[0].platform
-    # v5e: ~819 GB/s HBM. CPU fallback uses a nominal 100 GB/s.
+    # v5e: ~819 GB/s HBM spec. CPU fallback uses a nominal 100 GB/s.
     hbm = 819.0 if platform != "cpu" else 100.0
     roofline = _roofline_edges_per_s(n_layers=9, d_proj=32, hbm_gbps=hbm)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    # Live-chunk capacity: the dead-chunk skip removes all-padding chunks.
-    import numpy as _np
 
-    chunk = int(os.environ["GASFM_CHUNK"])
-    em = _np.asarray(scene.graph.edge_mask).reshape(-1, chunk)
-    live_cap = int(em.any(axis=1).sum()) * chunk
-    attainable = _attainable_edges_per_s(
-        n_valid_edges=n_edges, e_cap=live_cap,
-        n_layers=9, n_params=n_params, hbm_gbps=hbm,
+    # Live-chunk capacity: the dead-chunk skip removes all-padding chunks.
+    chunk_u = scene_u.graph.chunk
+    em = np.asarray(scene_u.graph.edge_mask).reshape(-1, chunk_u)
+    live_chunks = int(em.any(axis=1).sum())
+
+    # Measured denominators (round-4 verdict weak #1/#2): per-chunk merged
+    # kernel cost on THIS chip at the bench layout, and the median-of-5
+    # bandwidth probe with its band.
+    from gasfm_tpu.ops.pallas.packing import stream_dtype
+    from gasfm_tpu.utils.kernel_cost import (
+        measure_hbm_gbps,
+        measure_merged_kernel_cost,
     )
 
-    # Honest roofline against what THIS hardware instance actually delivers
-    # (the 819 GB/s spec denominator stays as vs_baseline for cross-round
-    # comparability; BENCHLOG section 20 records the discrepancy), with the
-    # traffic model's element size matching the actual stream dtype.
-    hbm_meas = _measure_hbm_gbps() if platform != "cpu" else hbm
+    kernel_s_chunk = measure_merged_kernel_cost(scene_u.graph, stream_dtype())
+    if platform != "cpu":
+        hbm_med, hbm_min, hbm_max = measure_hbm_gbps()
+    else:
+        hbm_med = hbm_min = hbm_max = hbm
+
+    attainable = _attainable_edges_per_s(
+        n_valid_edges=n_edges_u, n_live_chunks=live_chunks, n_layers=9,
+        n_params=n_params, kernel_s_per_chunk=kernel_s_chunk, hbm_gbps=hbm,
+    )
     ebytes = 2 if os.environ["GASFM_STREAM_DTYPE"] == "bf16" else 4
     roofline_meas = _roofline_edges_per_s(
-        n_layers=9, d_proj=32, hbm_gbps=hbm_meas, elem_bytes=ebytes
+        n_layers=9, d_proj=32, hbm_gbps=hbm_med, elem_bytes=ebytes
     )
 
     print(json.dumps({
@@ -240,10 +222,21 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / roofline, 4),
+        "powerlaw_edges_per_s": round(powerlaw_edges_per_s, 1),
         "attainable_edges_per_s": round(attainable, 1),
         "vs_attainable": round(edges_per_s / attainable, 4),
-        "hbm_gbps_measured": round(hbm_meas, 1),
+        "kernel_us_per_chunk_measured": round(kernel_s_chunk * 1e6, 3),
+        "hbm_gbps_measured": round(hbm_med, 1),
+        "hbm_gbps_min": round(hbm_min, 1),
+        "hbm_gbps_max": round(hbm_max, 1),
         "vs_roofline_measured": round(edges_per_s / roofline_meas, 4),
+        "fast_config": {
+            "stream_dtype": os.environ["GASFM_STREAM_DTYPE"],
+            "adam_mu_dtype": "bf16" if mu_bf16 else "f32",
+            "adam_nu_dtype": "bf16" if nu_bf16 else "f32",
+            "chunk": chunk_u,
+            "powerlaw_chunk": scene_p.graph.chunk,
+        },
     }))
 
 

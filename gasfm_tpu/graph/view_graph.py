@@ -52,15 +52,20 @@ import numpy as np
 from gasfm_tpu.utils.constants import MIN_N_POINTS_PER_VIEW, MIN_N_VIEWS_PER_POINT
 
 
-# Point-window width and edge-chunk length of the blocked layout. This is
-# the single source of truth — the Pallas kernels import these. The windowed
-# one-hot matmuls cost 2*WINDOW*D FLOPs per edge, so a narrower window is
-# directly cheaper on the MXU; CHUNK sets the per-block padding granularity
-# (and the grid step count). (WINDOW=128, CHUNK=512) measured best:
-# vs (512, 512) it is ~3.6x less MXU work at 10-25% edge padding; CHUNK=256
-# and CHUNK=1024 are both slower (per-grid-step overhead vs padding).
-# GASFM_CHUNK overrides CHUNK for perf experiments (scripts/kernel_microbench
-# .py sweeps it in subprocesses; it must be set before first import).
+# Point-window width and DEFAULT edge-chunk length of the blocked layout.
+# WINDOW is a true global (the Pallas kernels import it). CHUNK became a
+# PER-GRAPH property in round 5 (ViewGraph.chunk, static metadata): the
+# kernels/wrappers derive the chunk from their operand shapes (the id rows
+# are (E/chunk, chunk)), so scenes with different chunks coexist in one
+# process — one compiled program per (caps, chunk) key, exactly like any
+# other shape. The windowed one-hot matmuls cost 2*WINDOW*D FLOPs per edge,
+# so a narrower window is directly cheaper on the MXU; chunk sets the
+# per-block padding granularity (and the grid step count) — sparse scenes
+# want a smaller chunk (padding ~ per-window runs round up to a chunk
+# multiple), dense ones a larger (per-chunk fixed costs amortize); see
+# choose_chunk() and BENCHLOG sections 22-23. GASFM_CHUNK overrides the
+# DEFAULT for perf experiments; the production bucketizer picks per scene
+# (train/loop.GraphBucketizer).
 import os as _os
 
 WINDOW = 128
@@ -74,6 +79,31 @@ if CHUNK <= 0 or CHUNK % 128 != 0:
     raise ValueError(f"GASFM_CHUNK must be a positive multiple of 128, got {CHUNK}")
 
 
+def choose_chunk(n_valid_edges: int, n_points: int) -> int:
+    """Automatic chunk selection by the scene's mean window run.
+
+    The mean number of edges per WINDOW-point block (~ mean_track_len *
+    WINDOW) sets the padding/amortization trade: each block's edge run pads
+    up to a chunk multiple, so short runs at a long chunk waste most slots
+    (BENCHLOG section 23: the power-law scene pads 72% at 1024 vs 39% at
+    512), while long runs amortize per-chunk fixed costs best at 1024
+    (section 22: +7% over 512 on the dense bench scene). Anchored to those
+    measurements: run >= 1024 -> 1024, >= 256 -> 512, else 256 (tiny/very
+    sparse scenes; chunk 256 also disables the packed-stream layout, which
+    needs chunk % 512 == 0 — acceptable where scenes are that small).
+
+    If GASFM_CHUNK is set it wins (the perf-experiment escape hatch).
+    """
+    if "GASFM_CHUNK" in _os.environ:
+        return CHUNK
+    run = n_valid_edges * WINDOW / max(n_points, 1)
+    if run >= 1024:
+        return 1024
+    if run >= 256:
+        return 512
+    return 256
+
+
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
 
@@ -82,18 +112,19 @@ def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
 
 
-def blocked_edge_count(M: np.ndarray) -> int:
+def blocked_edge_count(M: np.ndarray, chunk: Optional[int] = None) -> int:
     """Edge slots the blocked layout needs for measurement matrix ``M``
     (valid edges plus per-point-block padding). Use this instead of the raw
     nnz when pinning shared edge caps across scenes."""
     from gasfm_tpu.geometry.np_geo import get_M_valid_points
 
+    chunk = CHUNK if chunk is None else chunk
     valid = get_M_valid_points(np.asarray(M, dtype=np.float32))
     _, cols = np.nonzero(valid)
     if cols.size == 0:
         return 0
     _, counts = np.unique(cols // WINDOW, return_counts=True)
-    return int(_round_up_arr(counts, CHUNK).sum())
+    return int(_round_up_arr(counts, chunk).sum())
 
 
 def bucket_size(x: int, multiple: int, growth: float = 1.3) -> int:
@@ -134,6 +165,11 @@ class ViewGraph:
     n_true: jnp.ndarray  # () int32
     e_true: jnp.ndarray  # () int32
 
+    # Edge-chunk length of THIS graph's blocked layout (static pytree
+    # metadata: part of the treedef, so jitted callables specialize per
+    # chunk exactly as they do per shape).
+    chunk: int = dataclasses.field(default=CHUNK, metadata=dict(static=True))
+
     @property
     def num_cams(self) -> int:
         return self.cam_mask.shape[0]
@@ -165,16 +201,17 @@ class ViewGraph:
         from gasfm_tpu.ops.segment import SegmentWindows
 
         E = self.num_edges
-        if E % CHUNK != 0:
+        chunk = self.chunk
+        if E % chunk != 0:
             return None
-        wb = self.pt_window.reshape(E // CHUNK, CHUNK)[:, 0]
+        wb = self.pt_window.reshape(E // chunk, chunk)[:, 0]
         row_ok = jnp.repeat(self.pt_block_visited, WINDOW)[: self.num_pts]
         # Live-chunk count for the kernels' dead-chunk skip: chunks with at
         # least one valid edge form a prefix of the chunk sequence (block
-        # runs pad to < CHUNK; the rest of the capacity is a pure-padding
+        # runs pad to < chunk; the rest of the capacity is a pure-padding
         # suffix). One cheap traced reduction, CSE'd across the layers.
         nlive = jnp.sum(
-            jnp.any(self.edge_mask.reshape(E // CHUNK, CHUNK), axis=1).astype(jnp.int32)
+            jnp.any(self.edge_mask.reshape(E // chunk, chunk), axis=1).astype(jnp.int32)
         )
         return SegmentWindows(block=wb, row_ok=row_ok, nlive=nlive)
 
@@ -199,23 +236,29 @@ def build_view_graph(
     pt_multiple: int = 256,
     edge_multiple: Optional[int] = None,
     growth: float = 1.3,
+    chunk: Optional[int] = None,
 ) -> ViewGraph:
     """Host-side construction from a (2m, n) measurement matrix.
 
     `caps` optionally pins (M_cap, N_cap, E_cap); otherwise bucketed caps are
-    derived. Mirrors the reference's M2sparse + validity semantics
+    derived. `chunk` pins this graph's edge-chunk length (default: the
+    process-wide CHUNK; the production bucketizer passes choose_chunk()).
+    Mirrors the reference's M2sparse + validity semantics
     (reference: code/utils/dataset_utils.py:86-156).
     """
     from gasfm_tpu.geometry.np_geo import get_M_valid_points, normalize_M
 
-    # The edge cap must stay a CHUNK multiple or pt_segment_windows() returns
+    chunk = CHUNK if chunk is None else int(chunk)
+    if chunk <= 0 or chunk % 128 != 0:
+        raise ValueError(f"chunk must be a positive multiple of 128, got {chunk}")
+    # The edge cap must stay a chunk multiple or pt_segment_windows() returns
     # None and every Pallas kernel silently falls back to XLA (measured 6x
     # slower at bench shapes). The old fixed default of 512 did exactly that
     # under GASFM_CHUNK=1024 whenever the bucket grid landed on an odd
     # 512-multiple; callers that need a coarser grid (edge sharding) pass
-    # edge_multiple = CHUNK * n_edge_shards explicitly (train/loop.py).
+    # edge_multiple = chunk * n_edge_shards explicitly (train/loop.py).
     if edge_multiple is None:
-        edge_multiple = CHUNK
+        edge_multiple = chunk
     M = np.asarray(M, dtype=np.float32)
     m = M.shape[0] // 2
     n = M.shape[1]
@@ -231,7 +274,7 @@ def build_view_graph(
     rows, cols = rows[order], cols[order]
     blk_of_edge = cols // WINDOW
     blk_ids, blk_counts = np.unique(blk_of_edge, return_counts=True)
-    blk_padded = _round_up_arr(blk_counts, CHUNK)
+    blk_padded = _round_up_arr(blk_counts, chunk)
     e_blocked = int(blk_padded.sum()) if e > 0 else 0
 
     if caps is None:
@@ -302,6 +345,7 @@ def build_view_graph(
         m_true=jnp.asarray(m, dtype=jnp.int32),
         n_true=jnp.asarray(n, dtype=jnp.int32),
         e_true=jnp.asarray(e, dtype=jnp.int32),
+        chunk=chunk,
     )
 
 

@@ -132,6 +132,9 @@ class ESFMLoss:
 
     def __call__(self, pred: Dict[str, Any], scene: SceneGraph, epoch=None) -> jnp.ndarray:
         graph = scene.graph
+        fused = self._fused(pred, graph)
+        if fused is not None:
+            return fused
         proj = project_edges(pred["Ps_norm"], pred["pts3D"], graph)  # (E, 3)
         depth = proj[:, 2]
         if self.hinge_loss:
@@ -167,6 +170,44 @@ class ESFMLoss:
         mask = graph.edge_mask.astype(per_edge.dtype)
         # Final reductions: the loss cotangent is the replicated seed.
         return all_sum_final(jnp.sum(per_edge * mask)) / jnp.maximum(
+            all_sum_final(jnp.sum(mask)), 1.0
+        )
+
+    def _fused(self, pred: Dict[str, Any], graph: ViewGraph):
+        """Single-Pallas-kernel path (ops/pallas/fused_loss.py): the whole
+        per-edge pipeline — gathers, projection, hinge/reproj terms, the
+        equalization backward and both table-gradient scatters — without
+        materializing any E-sized intermediate in HBM. Returns None when
+        ineligible (the composite path above is the semantics oracle;
+        tests/test_fused_loss.py asserts value+grad agreement)."""
+        from gasfm_tpu.ops.segment import _kernel_interpret, _kernels_enabled
+
+        window = graph.pt_segment_windows()
+        if not (
+            _kernels_enabled()
+            and window is not None
+            and graph.num_edges % graph.chunk == 0
+            and graph.num_cams <= 1024
+            and pred["Ps_norm"].dtype == jnp.float32
+            and pred["pts3D"].dtype == jnp.float32
+        ):
+            return None
+        from gasfm_tpu.ops.pallas.fused_loss import fused_esfm_terms
+
+        eq_mode = (
+            ("valid_only" if self.normalize_grad_valid_only else "all")
+            if self.pts_grad_equalization else "none"
+        )
+        M = graph.num_cams
+        P_flat = pred["Ps_norm"].reshape(M, 12)
+        Xt = pred["pts3D"].T  # (N, 4) homogeneous
+        edge_sum, _count = fused_esfm_terms(
+            P_flat, Xt, graph.uv, graph,
+            self.infinity_pts_margin, self.hinge_loss, self.hinge_loss_weight,
+            eq_mode, interpret=_kernel_interpret(),
+        )
+        mask = graph.edge_mask.astype(jnp.float32)
+        return all_sum_final(edge_sum) / jnp.maximum(
             all_sum_final(jnp.sum(mask)), 1.0
         )
 

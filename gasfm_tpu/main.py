@@ -79,27 +79,13 @@ def init_exp(args):
     from gasfm_tpu.utils.paths import gen_dflt_exp_dir
 
     conf = load_config(args.conf, external_params=args.external_params)
-    # Conf-driven edge-chunk length (``compile.chunk``): CHUNK is a layout
-    # constant read at gasfm_tpu.graph import time (it shapes every compiled
-    # kernel), so it must be applied BEFORE any model/graph import. Sparse
-    # real-world scenes (power-law track lengths) want 512 — each point
-    # window's edge run pads to a CHUNK multiple (BENCHLOG section 23);
-    # dense synthetic scenes are ~7% faster at 1024. The GASFM_CHUNK env
-    # var still wins (perf sweeps set it before python starts).
-    chunk_conf = conf.get_int("compile.chunk", default=None)
-    if chunk_conf is not None and "GASFM_CHUNK" not in os.environ:
-        import sys as _sys
-
-        if "gasfm_tpu.graph.view_graph" in _sys.modules:
-            from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
-
-            if _CHUNK != chunk_conf:
-                raise RuntimeError(
-                    f"compile.chunk = {chunk_conf} but gasfm_tpu.graph was "
-                    f"already imported with CHUNK = {_CHUNK}; set GASFM_CHUNK "
-                    f"in the environment instead"
-                )
-        os.environ["GASFM_CHUNK"] = str(chunk_conf)
+    # Edge-chunk length (``compile.chunk``): since round 5 the chunk is a
+    # PER-GRAPH property selected automatically by the bucketizer from each
+    # scene's mean window run (view_graph.choose_chunk; sparse power-law
+    # scenes get 512, dense ones 1024 — BENCHLOG section 23). An integer
+    # ``compile.chunk`` pins it for every scene; GASFM_CHUNK (set before
+    # python starts) pins the process default AND wins over auto-selection
+    # (perf sweeps). No import-order constraint remains.
     # Conf-driven stream storage dtype (``compile.stream_dtype`` = "f32" |
     # "bf16"; see ops/pallas/packing.stream_dtype). Trace-time like the
     # kernel mode; the env var wins for perf sweeps.

@@ -25,6 +25,7 @@ from gasfm_tpu.models.layers import (
     GraphAttnGlobalFeatureUpdate,
     GraphAttnLayer,
     MLPStack,
+    PendingUpdate,
     pos_embed_dim,
 )
 
@@ -81,7 +82,6 @@ class GraphAttnSfMNet(nn.Module):
         # layer and the final update keep the plain layout (the relayout is
         # one XLA transpose-copy at each boundary). Gated to the shapes the
         # packed kernels support; any ineligible conf runs exactly as before.
-        from gasfm_tpu.graph.view_graph import CHUNK
         from gasfm_tpu.ops.pallas.packing import (
             pack_edges,
             packed_streams_enabled,
@@ -89,8 +89,9 @@ class GraphAttnSfMNet(nn.Module):
             unpack_edges,
         )
 
+        CHUNK = graph.chunk  # per-graph chunk (static pytree metadata)
         use_packed = (
-            packed_streams_enabled(self.n_feat_proj)
+            packed_streams_enabled(self.n_feat_proj, CHUNK)
             and self.use_norm_proj_update
             and self.n_hidden_layers_proj_update == 0
             and graph.pt_segment_windows() is not None
@@ -143,10 +144,23 @@ class GraphAttnSfMNet(nn.Module):
                 use_packed and i + 1 < self.num_layers
                 and next_proj_out == self.n_feat_proj
             )
-            defer = use_merged and layer_packed and (
-                next_packed or (last and final_raw_plan)
+            # First-layer deferral: the narrow-input update (d_emb -> De)
+            # and its width-adapting residual fold into layer 1's merged
+            # kernel (see GraphAttnLayer defer_update unpacked branch) —
+            # the (E, De) first-layer output never round-trips HBM and the
+            # pack relayout disappears. Gated to narrow embeddings whose
+            # packed stream fits one vreg row (PACK * d_emb <= 128).
+            from gasfm_tpu.ops.pallas.packing import PACK
+
+            defer = use_merged and (
+                (layer_packed and (next_packed or (last and final_raw_plan)))
+                or (first and next_packed and PACK * d_emb <= 128
+                    and proj_out == self.n_feat_proj
+                    and _os.environ.get("GASFM_DEFER_FIRST", "1") != "0")
             )
-            if layer_packed and not e_packed:
+            if isinstance(e, PendingUpdate):
+                pass  # deferred hand-off: the next (packed) layer consumes it
+            elif layer_packed and not e_packed:
                 e = pack_edges(e, CHUNK).astype(stream_dtype())
                 e_packed = True
             elif e_packed and not layer_packed:
@@ -189,6 +203,10 @@ class GraphAttnSfMNet(nn.Module):
                     else None
                 ),
             )
+            if isinstance(e, PendingUpdate):
+                # First-layer deferral hands a packed pending update to the
+                # next (packed) layer; the stream is packed from here on.
+                e_packed = True
         # Final-aggregation fast path: when the stream is packed and the only
         # consumer of `e` is the final global update (no depth head), keep it
         # packed and run the no-LN fused frontend there (raw_frontend) — the

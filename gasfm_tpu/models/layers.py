@@ -741,10 +741,12 @@ class ProjectionFeatureUpdate(nn.Module):
 
         if packed:
             assert self.n_hidden_layers == 0
-            from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+            from gasfm_tpu.graph.view_graph import WINDOW
             from gasfm_tpu.ops.pallas.fused_proj_update import packed_edge_update
             from gasfm_tpu.ops.pallas.packing import PACK
             from gasfm_tpu.ops.segment import _kernel_interpret
+
+            CHUNK = graph.chunk  # per-graph chunk
 
             De = x_edges.shape[1] // PACK
             D2 = skip2_p.shape[1] // PACK if skip2_p is not None else 0
@@ -772,6 +774,29 @@ class ProjectionFeatureUpdate(nn.Module):
                 window.block,
                 graph.num_pts, graph.num_cams, WINDOW,
                 interpret=_kernel_interpret(), nlive=window.nlive,
+            )
+
+        if defer:
+            # Unpacked-input deferral (the FIRST layer): hand the narrow
+            # normalized stream to the next layer's merged kernel packed as
+            # (E/PACK, PACK*d_in) — the kernel's update matmul is
+            # width-generic, so the (E, d_out) update output never
+            # materializes in HBM (round-4 step anatomy: the first layer
+            # cost ~0.95 ms over an interior layer, largely this unpacked
+            # update + the pack relayout). Param tree identical to the
+            # TorchDense path (DenseParams mirrors it).
+            assert self.n_hidden_layers == 0
+            from gasfm_tpu.ops.pallas.packing import pack_edges, stream_dtype
+
+            d_in = x_edges.shape[-1]
+            kernel, bias = DenseParams(self.n_feat_proj_out, d_in, name="lin_proj")()
+            en_p = pack_edges(x_edges, graph.chunk).astype(stream_dtype())
+            return PendingUpdate(
+                en=en_p, skip2=None, res=None,
+                w_e=kernel.astype(jnp.float32), b=bias.astype(jnp.float32),
+                w_uv=None,
+                ps=ps.astype(jnp.float32), pv=pv.astype(jnp.float32),
+                pg=pg.astype(jnp.float32),
             )
 
         pe = TorchDense(self.n_feat_proj_out, name="lin_proj")(x_edges)
@@ -925,6 +950,48 @@ class GraphAttnLayer(nn.Module):
             )(s, v, g, e, graph, packed=True, skip2_p=skip2_p, res_p=res_p,
               defer=self.defer_update)
             return e, s, v, g
+
+        if self.defer_update:
+            # Unpacked-layer deferral (the FIRST layer feeding a packed
+            # successor): the update AND the width-adapting residual fold
+            # into the next layer's merged kernel. The residual rides the
+            # kernel's free skip2 slot: the kernel computes
+            # (en@w_e + skip2@w_uv + b + tables)/4 [+ res], so passing
+            # skip2 = relu(LN(raw)) and w_uv = 4*W_skip (bias folded as
+            # b += 4*b_skip) makes the /4 cancel — exactly
+            # skip_projection(relu(LN(raw))) + update (reference
+            # layers.py:236-263 residual semantics). JAX AD routes the
+            # w_uv/b cotangents through the scaling automatically.
+            assert self.n_feat_skipconn_init_projfeat_in is None
+            assert self.n_hidden_layers_proj_update == 0
+            from gasfm_tpu.ops.pallas.packing import pack_edges, stream_dtype
+
+            pending = ProjectionFeatureUpdate(
+                self.n_feat_proj_out,
+                n_hidden_layers=0,
+                normalize_global_features=True,
+                name="projection_feature_update",
+            )(s, v, g, e, graph, defer=True)
+            if self.add_residual_skipconn_proj_update:
+                if self.n_feat_proj_in == self.n_feat_proj_out:
+                    pending = pending._replace(
+                        res=pack_edges(raw, graph.chunk).astype(stream_dtype())
+                    )
+                else:
+                    x_skip = raw
+                    if self.use_norm_proj_update:
+                        x_skip = layer_norm(name="residual_skipconn_proj_norm")(x_skip)
+                        x_skip = nn.relu(x_skip)
+                    w_skip, b_skip = DenseParams(
+                        self.n_feat_proj_out, x_skip.shape[-1],
+                        name="skip_projection",
+                    )()
+                    pending = pending._replace(
+                        skip2=pack_edges(x_skip, graph.chunk).astype(stream_dtype()),
+                        w_uv=w_skip.astype(jnp.float32) * 4.0,
+                        b=pending.b + 4.0 * b_skip.astype(jnp.float32),
+                    )
+            return pending, s, v, g
 
         if self.n_feat_skipconn_init_projfeat_in is not None:
             assert skipconn_init_projfeat is not None

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from gasfm_tpu.graph.view_graph import ViewGraph, WINDOW
 from gasfm_tpu.ops.segment import _kernel_interpret, _kernels_enabled, gather_segments
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024
 
 
@@ -36,7 +35,7 @@ def edge_combine(
         _kernels_enabled()
         and window is not None
         and pe.dtype == jnp.float32
-        and pe.shape[0] % _CHUNK == 0
+        and pe.shape[0] % graph.chunk == 0
         and graph.num_cams <= _DENSE_MAX_SEGMENTS
     ):
         from gasfm_tpu.ops.pallas.fused_update import fused_edge_combine
@@ -45,8 +44,8 @@ def edge_combine(
 
         return fused_edge_combine(
             pe, ps, pv, pg,
-            graph.pt_idx.astype(jnp.int32).reshape(-1, _CHUNK),
-            graph.cam_idx.astype(jnp.int32).reshape(-1, _CHUNK),
+            graph.pt_idx.astype(jnp.int32).reshape(-1, graph.chunk),
+            graph.cam_idx.astype(jnp.int32).reshape(-1, graph.chunk),
             window.block,
             graph.num_pts, graph.num_cams, WINDOW,
             _kernel_interpret(), get_kernel_precision(),

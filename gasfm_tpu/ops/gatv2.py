@@ -37,7 +37,6 @@ from gasfm_tpu.ops.segment import (
     segment_sum,
 )
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024
 
 
@@ -147,18 +146,20 @@ def gatv2_attend(
     if (
         _kernels_enabled()
         and xl2.dtype == jnp.float32
-        and E % _CHUNK == 0
+        and E % 128 == 0
         and (window is not None or num_segments <= _DENSE_MAX_SEGMENTS)
     ):
         from gasfm_tpu.graph.view_graph import WINDOW
         from gasfm_tpu.ops.pallas.fused_attn import fused_attend_h
+        from gasfm_tpu.ops.pallas.segment_kernels import _edge_tile
 
         if window is not None:
             W = WINDOW
             wb = window.block
         else:
+            # Windowless (dense) direction: the chunk is a free tile size.
             W = _round_up(max(num_segments, 1), 128)
-            wb = jnp.zeros((E // _CHUNK,), dtype=jnp.int32)
+            wb = jnp.zeros((E // _edge_tile(E),), dtype=jnp.int32)
         s_pad = _round_up(num_segments, W)
         ids = seg_ids.astype(jnp.int32)
         if edge_mask is not None:
@@ -241,12 +242,13 @@ def gatv2_attend_dual(
         and window is not None
         and xl_p.dtype == jnp.float32
         and xl_c.dtype == jnp.float32
-        and E % _CHUNK == 0
+        and E % window.block.shape[0] == 0
         and num_cams <= _DENSE_MAX_SEGMENTS
     ):
         from gasfm_tpu.graph.view_graph import WINDOW
         from gasfm_tpu.ops.pallas.fused_dual_attn import fused_dual_attend
 
+        chunk = E // window.block.shape[0]  # per-graph chunk
         W = WINDOW
         s_pad = _round_up(num_pts, W)
         Wc = _round_up(max(num_cams, 1), 128)
@@ -261,7 +263,7 @@ def gatv2_attend_dual(
             xl_p.reshape(E, Hp * Cp), xl_c.reshape(E, Hc * Cc),
             xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-            pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
+            pids.reshape(-1, chunk), cids.reshape(-1, chunk), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(),
             nlive=window.nlive if edge_mask is not None else None,
@@ -349,12 +351,13 @@ def gatv2_layer_frontend(
         # bf16 accepted for lane-packed streams (packing.stream_dtype).
         and (e_raw.dtype == jnp.float32
              or (packed and e_raw.dtype == jnp.bfloat16))
-        and E % _CHUNK == 0
+        and E % window.block.shape[0] == 0
         and num_cams <= _DENSE_MAX_SEGMENTS
     ):
         from gasfm_tpu.graph.view_graph import WINDOW
         from gasfm_tpu.ops.pallas.fused_dual_attn import fused_frontend
 
+        chunk = E // window.block.shape[0]  # per-graph chunk
         W = WINDOW
         s_pad = _round_up(num_pts, W)
         Wc = _round_up(max(num_cams, 1), 128)
@@ -369,7 +372,7 @@ def gatv2_layer_frontend(
             wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
             xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-            pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
+            pids.reshape(-1, chunk), cids.reshape(-1, chunk), window.block,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(), packed=packed,
             nlive=window.nlive if edge_mask is not None else None,
@@ -382,8 +385,11 @@ def gatv2_layer_frontend(
     if packed:
         from gasfm_tpu.ops.pallas.packing import pack_edges, unpack_edges
 
+        # Packed layout requires window metadata (the model gates on it),
+        # so the per-graph chunk is always derivable here.
+        _chunk = E // window.block.shape[0]
         in_dtype = e_raw.dtype
-        e_raw = unpack_edges(e_raw, _CHUNK).astype(jnp.float32)
+        e_raw = unpack_edges(e_raw, _chunk).astype(jnp.float32)
     en = (e_raw.astype(jnp.float32) if raw_prologue
           else _layer_norm_relu(e_raw, ln_scale, ln_bias, eps))
     xl_p = (en @ wlp + blp).reshape(E, Hp, Cp)
@@ -394,7 +400,7 @@ def gatv2_layer_frontend(
         edge_mask=edge_mask, negative_slope=negative_slope,
     )
     if packed:
-        en = pack_edges(en, _CHUNK).astype(in_dtype)
+        en = pack_edges(en, _chunk).astype(in_dtype)
     return en, out_p, out_c
 
 
@@ -444,7 +450,9 @@ def merged_layer_frontend(
         wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
         xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
         att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-        pids.reshape(-1, _CHUNK), cids.reshape(-1, _CHUNK), window.block,
+        pids.reshape(-1, pids.shape[0] // window.block.shape[0]),
+        cids.reshape(-1, cids.shape[0] // window.block.shape[0]),
+        window.block,
         num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
         edge_axis=current_edge_axis(),
         nlive=window.nlive if edge_mask is not None else None,

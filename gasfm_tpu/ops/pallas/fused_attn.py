@@ -50,7 +50,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK  # single source of truth
 
 _NEG = -1e30
 
@@ -360,7 +359,8 @@ def _fused_attn_fwd_kernel(
 def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", interpret=False,
                         finalize=True):
     E, D = xl2.shape
-    assert E % _CHUNK == 0 and D % H == 0
+    chunk = E // wb.shape[0]  # per-graph chunk (or the dense tile)
+    assert E % chunk == 0 and D % H == 0
     C = D // H
     HP = _round_up(max(H, 1), 8)
     s_pad = xr2.shape[0]
@@ -370,10 +370,10 @@ def _fused_attn_fwd_raw(xl2, xr2, att_row, ids2d, wb, W, H, slope, mm="f32", int
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -491,6 +491,7 @@ def _fused_attn_bwd_kernel(
 def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
                         mm="f32", interpret=False):
     E, D = xl2.shape
+    chunk = E // wb.shape[0]  # per-graph chunk (or the dense tile)
     C = D // H
     HP = _round_up(max(H, 1), 8)
     s_pad = xr2.shape[0]
@@ -499,10 +500,10 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, HP), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -511,7 +512,7 @@ def _fused_attn_bwd_raw(xl2, xr2, att_row, ids2d, wb, md, out, g, W, H, slope,
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],

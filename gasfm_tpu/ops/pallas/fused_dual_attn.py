@@ -45,7 +45,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 from gasfm_tpu.ops.pallas.fused_attn import (
     combine_attention_shards,
     exchange_boundary_add,
@@ -283,7 +282,8 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
                   W, Wc, Hp, Hc, slope, interpret=False, finalize=True, mm="f32"):
     E, Dp = xlp.shape
     Dc = xlc.shape[1]
-    assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
+    chunk = pids2d.shape[1]  # per-graph chunk (id rows are (E/chunk, chunk))
+    assert E % chunk == 0 and Dp % Hp == 0 and Dc % Hc == 0
     HP = _round_up(Hp + Hc, 8)
     s_pad = xrp.shape[0]
     assert s_pad % W == 0 and xrc.shape[0] == Wc
@@ -299,12 +299,12 @@ def _dual_fwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -509,6 +509,7 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
                   mdp, mdc, outp, outc, gp, gc, W, Wc, Hp, Hc, slope,
                   interpret=False, mm="f32"):
     E, Dp = xlp.shape
+    chunk = pids2d.shape[1]  # per-graph chunk
     Dc = xlc.shape[1]
     HP = _round_up(Hp + Hc, 8)
     s_pad = xrp.shape[0]
@@ -535,12 +536,12 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -558,8 +559,8 @@ def _dual_bwd_raw(xlp, xlc, xrp, xrc, attp, attc, pids2d, cids2d, wb, nlive,
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dp), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, Dc), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Dp), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, Dc), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Dp), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -955,6 +956,7 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, nlive, W, Wc, Hp, Hc, slope, eps,
                    interpret=False, finalize=True, mm="f32", packed=False,
                    raw_prologue=False):
+    chunk = pids2d.shape[1]  # per-graph chunk
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -963,7 +965,7 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         E, De = e.shape
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
-    assert E % _CHUNK == 0 and Dp % Hp == 0 and Dc % Hc == 0
+    assert E % chunk == 0 and Dp % Hp == 0 and Dc % Hc == 0
     HP = _round_up(Hp + Hc, 8)
     s_pad = xrp.shape[0]
     assert s_pad % W == 0 and xrc.shape[0] == Wc
@@ -980,19 +982,19 @@ def _front_fwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     if packed:
         stream_spec = pl.BlockSpec(
-            (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
+            (chunk // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
         )
         stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), e.dtype)
     else:
-        stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
+        stream_spec = pl.BlockSpec((chunk, De), lambda c, wb_ref: (c, 0),
                                    memory_space=pltpu.VMEM)
         stream_shape = jax.ShapeDtypeStruct((E, De), e.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             stream_spec,
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
@@ -1271,6 +1273,7 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
                    pids2d, cids2d, wb, nlive, mdp, mdc, outp, outc, gp, gc,
                    gen, W, Wc, Hp, Hc, slope, eps, interpret=False, mm="f32",
                    packed=False, raw_prologue=False):
+    chunk = pids2d.shape[1]  # per-graph chunk
     if packed:
         _rows, _pd = e.shape
         De = _pd // PACK
@@ -1302,19 +1305,19 @@ def _front_bwd_raw(e, lng, lnb, wlp, blp, wlc, blc, xrp, xrc, attp, attc,
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     if packed:
         stream_spec = pl.BlockSpec(
-            (_CHUNK // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
+            (chunk // PACK, PACK * De), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM
         )
         stream_shape = jax.ShapeDtypeStruct((E // PACK, PACK * De), e.dtype)
     else:
-        stream_spec = pl.BlockSpec((_CHUNK, De), lambda c, wb_ref: (c, 0),
+        stream_spec = pl.BlockSpec((chunk, De), lambda c, wb_ref: (c, 0),
                                    memory_space=pltpu.VMEM)
         stream_shape = jax.ShapeDtypeStruct((E, De), e.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
             stream_spec,
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, De), fixed, memory_space=pltpu.VMEM),

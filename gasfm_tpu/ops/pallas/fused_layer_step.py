@@ -40,7 +40,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 from gasfm_tpu.ops.pallas.fused_attn import (
     combine_attention_shards,
     exchange_boundary_add,
@@ -602,13 +601,17 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
              interpret=False, finalize=True, mm="f32",
              has_skip=True, has_res=True, raw_prologue=False):
     rows, pde = en_p.shape
-    De = pde // PACK
+    # Output stream width from the update weight (the INPUT stream may be
+    # narrower — the first-layer deferral feeds a (E/PACK, PACK*d_emb)
+    # stream through a (d_emb, De) lin_proj).
+    De = we_bd.shape[1] // PACK
     E = rows * PACK
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
     HP = _round_up(Hp + Hc, 8)
     s_pad = xrp.shape[0]
-    Q = _CHUNK // PACK
+    chunk = pids2d.shape[1]  # per-graph chunk
+    Q = chunk // PACK
     sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
     hm = jnp.asarray(np.concatenate(_head_masks(Hp, Hc, HP), axis=0))
@@ -623,8 +626,8 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
     wblk = lambda c, wb_ref: (wb_ref[c], 0)  # noqa: E731
 
     in_specs = [
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
         stream(pde),
     ]
     operands = [pids2d, cids2d, en_p]
@@ -668,7 +671,7 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=in_specs,
         out_specs=[
             stream(PACK * De),
@@ -711,13 +714,14 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
              interpret=False, mm="f32", has_skip=True, has_res=True,
              raw_prologue=False):
     rows, pde = en_p.shape
-    De = pde // PACK
+    De = we_bd.shape[1] // PACK  # output width (see _fwd_raw note)
     E = rows * PACK
     Dp = wlp.shape[1]
     Dc = wlc.shape[1]
     HP = _round_up(Hp + Hc, 8)
     s_pad = xrp.shape[0]
-    Q = _CHUNK // PACK
+    chunk = pids2d.shape[1]  # per-graph chunk
+    Q = chunk // PACK
     d2p = skip2_p.shape[1] if has_skip else 0
     sselp = jnp.asarray(_dir_selector(Hp, Dp // Hp, HP, 0))
     sselc = jnp.asarray(_dir_selector(Hc, Dc // Hc, HP, Hp))
@@ -745,8 +749,8 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
     wblk = lambda c, wb_ref: (wb_ref[c], 0)  # noqa: E731
 
     in_specs = [
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
         stream(pde),
     ]
     operands = [pids2d, cids2d, en_p]
@@ -830,7 +834,7 @@ def _bwd_raw(en_p, skip2_p, el_p, we_bd, wuv_bd,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -977,8 +981,9 @@ def make_fused_layer_step(Hp: int, Hc: int, eps: float, mm: str,
         dps_full = jnp.where(vis_col, dps_full, 0.0)
         dxrp_full = jnp.where(vis_col, dxrp_full, 0.0)
         dsum = sum_lane_groups(dsum8[0:1], De)  # d(bias) == d(pg)
+        d_in = en_p.shape[1] // PACK  # input width (narrow for first-layer)
         d2 = skip2_p.shape[1] // PACK if has_skip else 0
-        dw_e = sum_diag_blocks(dwe_bd, De, De)
+        dw_e = sum_diag_blocks(dwe_bd, d_in, De)
         dw_uv = sum_diag_blocks(dwuv_bd, d2, De) if has_skip else None
         # Split the direction-stacked frontend grads back per direction.
         Dp = xr_p_pad.shape[1]

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 from gasfm_tpu.ops.pallas.fused_dual_attn import _wb_with_nlive
 from gasfm_tpu.ops.pallas.packing import (
     PACK,
@@ -47,9 +46,6 @@ from gasfm_tpu.ops.pallas.packing import (
     sum_lane_groups,
     tile_row,
 )
-
-_Q = _CHUNK // PACK
-
 
 def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
@@ -71,11 +67,12 @@ def _quarter_ohts(idrow, width: int, mm_dtype):
     from jax.experimental.pallas import tpu as pltpu
 
     chunk = idrow.shape[1]
+    q = chunk // PACK
     iota = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
     out = []
     for k in range(PACK):
-        r = pltpu.roll(idrow, chunk - k * _Q, 1) if k else idrow
-        ids_k = r[:, 0:_Q]  # (1, Q) at lane offset 0
+        r = pltpu.roll(idrow, chunk - k * q, 1) if k else idrow
+        ids_k = r[:, 0:q]  # (1, Q) at lane offset 0
         out.append((ids_k == iota).astype(mm_dtype))
     return out
 
@@ -246,19 +243,21 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
              pids2d, cids2d, wb, nlive, W, Wc, D, interpret, mm, has_skip,
              has_res):
     rows, pde = en_p.shape
-    nchunks = rows // _Q
+    chunk = pids2d.shape[1]  # per-graph chunk
+    q = chunk // PACK
+    nchunks = rows // q
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     pids2d, cids2d = _pad_ids(pids2d, cids2d)
     pd_out = PACK * D
 
     def _stream(width):
-        return pl.BlockSpec((_Q, width), lambda c, wb_ref: (c, 0),
+        return pl.BlockSpec((q, width), lambda c, wb_ref: (c, 0),
                             memory_space=pltpu.VMEM)
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
         _stream(pde),
     ]
     operands = [pids2d, cids2d, en_p]
@@ -305,20 +304,22 @@ def _fwd_raw(en_p, skip2_p, res_p, we_bd, c0, wuv_bd, ps_pad, pv_pad,
 def _bwd_raw(g_p, en_p, skip2_p, we_bd, wuv_bd, pids2d, cids2d, wb, nlive,
              W, Wc, D, s_pad, interpret, mm, has_skip):
     rows, pde = en_p.shape
-    nchunks = rows // _Q
+    chunk = pids2d.shape[1]  # per-graph chunk
+    q = chunk // PACK
+    nchunks = rows // q
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     pids2d, cids2d = _pad_ids(pids2d, cids2d)
     pd_out = PACK * D
     d2p = skip2_p.shape[1] if has_skip else 0
 
     def _stream(width):
-        return pl.BlockSpec((_Q, width), lambda c, wb_ref: (c, 0),
+        return pl.BlockSpec((q, width), lambda c, wb_ref: (c, 0),
                             memory_space=pltpu.VMEM)
 
     fixed = lambda c, wb_ref: (0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
         _stream(pde),
     ]
     operands = [pids2d, cids2d, en_p]

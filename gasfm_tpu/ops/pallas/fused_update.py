@@ -31,8 +31,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
-
 
 def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
@@ -74,7 +72,8 @@ def _fwd_kernel(wb_ref, pids_ref, cids_ref, pe_ref, ps_ref, pv_ref, pg_ref, out_
 @functools.partial(jax.jit, static_argnames=("W", "Wc", "mm", "interpret"))
 def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm="f32", interpret=False):
     E, D = pe.shape
-    assert E % _CHUNK == 0
+    chunk = pids2d.shape[1]  # per-graph chunk
+    assert E % chunk == 0
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     _rows8 = _round_up(pids2d.shape[0], 8)
     if pids2d.shape[0] != _rows8:
@@ -84,16 +83,16 @@ def _fwd_raw(pe, ps_pad, pv_pad, pg, pids2d, cids2d, wb, W, Wc, mm="f32", interp
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, W=W, Wc=Wc, mm_dtype=mm_dtype),
@@ -140,6 +139,7 @@ def _bwd_kernel(wb_ref, pids_ref, cids_ref, g_ref, dpe_ref, dps_ref, dpv_ref, dp
 @functools.partial(jax.jit, static_argnames=("s_pad", "W", "Wc", "mm", "interpret"))
 def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, mm="f32", interpret=False):
     E, D = g.shape
+    chunk = pids2d.shape[1]  # per-graph chunk
     mm_dtype = jnp.bfloat16 if mm == "bf16" else jnp.float32
     _rows8 = _round_up(pids2d.shape[0], 8)
     if pids2d.shape[0] != _rows8:
@@ -149,14 +149,14 @@ def _bwd_raw(g, pids2d, cids2d, wb, s_pad, W, Wc, mm="f32", interpret=False):
         cids2d = jnp.pad(cids2d, ((0, _rows8 - cids2d.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _CHUNK), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), lambda c, wb_ref: (c // 8, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, D), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Wc, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, D), lambda c, wb_ref: (0, 0), memory_space=pltpu.VMEM),

@@ -75,18 +75,17 @@ def packed_rows(E: int) -> int:
     return E // PACK
 
 
-def packed_streams_enabled(n_feat: int) -> bool:
+def packed_streams_enabled(n_feat: int, chunk: int) -> bool:
     """Trace-time gate for the packed edge-stream model path: Pallas kernels
-    active, the stream width is packable, and GASFM_PACKED != 0 (the env
-    kill-switch exists for A/B perf runs)."""
+    active, the stream width is packable at this graph's chunk, and
+    GASFM_PACKED != 0 (the env kill-switch exists for A/B perf runs)."""
     import os
 
-    from gasfm_tpu.graph.view_graph import CHUNK
     from gasfm_tpu.ops.segment import _kernels_enabled
 
     if os.environ.get("GASFM_PACKED", "1") == "0":
         return False
-    return _kernels_enabled() and packable(n_feat, CHUNK)
+    return _kernels_enabled() and packable(n_feat, chunk)
 
 
 # ---------------------------------------------------------------------------

@@ -197,7 +197,7 @@ def _segment_max_raw(
 # Differentiable wrappers (custom VJP: transpose(segment_sum) = gather)
 # ---------------------------------------------------------------------------
 
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK  # single source of truth
+from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK  # default tile size
 
 _S_TILE = 512
 
@@ -206,9 +206,24 @@ def kernels_applicable(E: int, chunk: int = _CHUNK) -> bool:
     return E % chunk == 0
 
 
+def _edge_tile(E: int) -> int:
+    """Edge-chunk tile for the DENSE kernels (where the chunk is a pure
+    tiling granularity, not a layout property): the process default when it
+    divides E, else the largest 128-multiple tile that does. Lets graphs
+    built with any per-graph chunk (view_graph.ViewGraph.chunk) use the
+    dense kernels without a layout contract."""
+    for c in (_CHUNK, 1024, 512, 256, 128):
+        if E % c == 0:
+            return c
+    raise AssertionError(f"edge count {E} not a multiple of 128")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def segment_sum_kernel(data, ids2d, num_segments, interpret=False):
-    return _segment_sum_raw(data, ids2d, num_segments, _CHUNK, _S_TILE, interpret=interpret)
+    return _segment_sum_raw(
+        data, ids2d, num_segments, _edge_tile(data.shape[0]), _S_TILE,
+        interpret=interpret,
+    )
 
 
 def _ss_fwd(data, ids2d, num_segments, interpret=False):
@@ -225,7 +240,9 @@ segment_sum_kernel.defvjp(_ss_fwd, _ss_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_kernel(table, ids2d, interpret=False):
-    return _gather_rows_raw(table, ids2d, _CHUNK, _S_TILE, interpret=interpret)
+    return _gather_rows_raw(
+        table, ids2d, _edge_tile(ids2d.shape[0]), _S_TILE, interpret=interpret
+    )
 
 
 def _gr_fwd(table, ids2d, interpret=False):
@@ -242,7 +259,8 @@ gather_rows_kernel.defvjp(_gr_fwd, _gr_bwd)
 
 def segment_max_kernel(data, ids2d, num_segments, neutral=-1e30, interpret=False):
     return _segment_max_raw(
-        data, ids2d, num_segments, _CHUNK, _S_TILE, neutral=neutral, interpret=interpret
+        data, ids2d, num_segments, _edge_tile(data.shape[0]), _S_TILE,
+        neutral=neutral, interpret=interpret,
     )
 
 
@@ -293,14 +311,15 @@ def _wseg_sum_raw(
     interpret: bool = False,
 ) -> jnp.ndarray:
     E, d = data.shape
-    assert E % _CHUNK == 0
+    chunk = E // wb.shape[0]  # per-graph chunk, from the wb row count
+    assert E % chunk == 0
     s_pad = _round_up(num_segments, _WINDOW)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (_WINDOW, d), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM
@@ -351,14 +370,15 @@ def _wseg_max_raw(
     interpret: bool = False,
 ) -> jnp.ndarray:
     E, d = data.shape
-    assert E % _CHUNK == 0
+    chunk = E // wb.shape[0]  # per-graph chunk, from the wb row count
+    assert E % chunk == 0
     s_pad = _round_up(num_segments, _WINDOW)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (d, _WINDOW), lambda c, wb_ref: (0, wb_ref[c]), memory_space=pltpu.VMEM
@@ -395,18 +415,19 @@ def _wgather_raw(
 ) -> jnp.ndarray:
     S, d = table.shape
     E = ids.shape[0]
-    assert E % _CHUNK == 0
+    chunk = E // wb.shape[0]  # per-graph chunk, from the wb row count
+    assert E % chunk == 0
     s_pad = _round_up(S, _WINDOW)
     if s_pad != S:
         table = jnp.pad(table, ((0, s_pad - S), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // _CHUNK,),
+        grid=(E // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_WINDOW, d), lambda c, wb_ref: (wb_ref[c], 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CHUNK, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((chunk, d), lambda c, wb_ref: (c, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _wgather_kernel,

@@ -59,7 +59,6 @@ class SegmentWindows(NamedTuple):
 # ---------------------------------------------------------------------------
 
 _KERNEL_MODE = os.environ.get("GASFM_KERNEL_MODE", "auto")
-from gasfm_tpu.graph.view_graph import CHUNK as _CHUNK
 _DENSE_MAX_SEGMENTS = 1024  # camera-side tables; beyond this XLA wins
 
 
@@ -105,12 +104,15 @@ def get_kernel_precision() -> str:
 
 
 def _kernel_eligible(data: jnp.ndarray, seg_ids: jnp.ndarray) -> bool:
+    # Edge-count gate is 128-alignment: the dense kernels pick their own
+    # edge tile (segment_kernels._edge_tile), the windowed ones derive the
+    # per-graph chunk from the window metadata's row count.
     return (
         _kernels_enabled()
         and data.ndim == 2
         and data.dtype == jnp.float32
         and data.shape[0] == seg_ids.shape[0]
-        and data.shape[0] % _CHUNK == 0
+        and data.shape[0] % 128 == 0
         and data.shape[1] >= 1
     )
 
@@ -470,7 +472,7 @@ def gather_segments(
         _kernels_enabled()
         and lifted.ndim == 2
         and lifted.dtype == jnp.float32
-        and seg_ids.shape[0] % _CHUNK == 0
+        and seg_ids.shape[0] % 128 == 0
     ):
         from gasfm_tpu.ops.pallas.segment_kernels import (
             gather_rows_kernel,

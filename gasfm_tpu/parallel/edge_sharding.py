@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -50,7 +51,8 @@ _EDGE_FIELDS = {"uv", "cam_idx", "pt_idx", "edge_mask", "pt_order", "pt_window"}
 _SCALAR_FIELDS = {"m_true", "n_true", "e_true"}
 
 
-def check_edge_shard_contract(num_edges: int, mesh: Mesh) -> None:
+def check_edge_shard_contract(num_edges: int, mesh: Mesh,
+                              chunk: Optional[int] = None) -> None:
     """Enforce the bucketizer's shard-alignment contract at runtime.
 
     Every edge shard must be a whole number of CHUNKs: the edge cap must be
@@ -62,8 +64,9 @@ def check_edge_shard_contract(num_edges: int, mesh: Mesh) -> None:
     op falls back to XLA row scatters at ~3% of HBM bandwidth) — a perf
     cliff that should fail loudly instead (round-3 ADVICE item 1).
     """
-    from gasfm_tpu.graph.view_graph import CHUNK
+    from gasfm_tpu.graph.view_graph import CHUNK as _DEFAULT_CHUNK
 
+    CHUNK = _DEFAULT_CHUNK if chunk is None else chunk
     n_edge = mesh.shape[EDGE_AXIS]
     if n_edge <= 1:
         return
@@ -87,9 +90,9 @@ def compute_owned_points(graph: ViewGraph, axis: str) -> jnp.ndarray:
     rows, triples combine across shards) and by the masked psum that
     assembles full-table outputs (pts3D) once per step.
     """
-    from gasfm_tpu.graph.view_graph import CHUNK, WINDOW
+    from gasfm_tpu.graph.view_graph import WINDOW
 
-    wb = graph.pt_window.reshape(-1, CHUNK)[:, 0]
+    wb = graph.pt_window.reshape(-1, graph.chunk)[:, 0]
     first_w, last_w = wb[0], wb[-1]
     idx = jax.lax.axis_index(axis)
     n = jax.lax.axis_size(axis)
@@ -106,7 +109,8 @@ def compute_owned_points(graph: ViewGraph, axis: str) -> jnp.ndarray:
 
 
 def check_table_shard_contract(
-    pt_window: np.ndarray, n_edge: int, edge_mask: Optional[np.ndarray] = None
+    pt_window: np.ndarray, n_edge: int, edge_mask: Optional[np.ndarray] = None,
+    chunk: Optional[int] = None,
 ) -> None:
     """Host-side span<=2 contract of the boundary exchange
     (ops/pallas/fused_attn.exchange_boundary_windows): every point window's
@@ -116,8 +120,9 @@ def check_table_shard_contract(
     the last window id but contribute neutral partials) are excluded when
     ``edge_mask`` is given.
     """
-    from gasfm_tpu.graph.view_graph import CHUNK
+    from gasfm_tpu.graph.view_graph import CHUNK as _DEFAULT_CHUNK
 
+    CHUNK = _DEFAULT_CHUNK if chunk is None else chunk
     pt_window = np.asarray(pt_window)
     if n_edge <= 1:
         return
@@ -155,7 +160,7 @@ def make_mesh(n_edge: int, n_data: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=(DATA_AXIS, EDGE_AXIS))
 
 
-def _graph_specs(batched: bool) -> ViewGraph:
+def _graph_specs(batched: bool, chunk: Optional[int] = None) -> ViewGraph:
     lead = (DATA_AXIS,) if batched else ()
 
     def spec(field: str):
@@ -165,14 +170,23 @@ def _graph_specs(batched: bool) -> ViewGraph:
             return P(*lead, EDGE_AXIS)
         return P(*lead)  # per-view / per-point tables: replicated over edge
 
-    return ViewGraph(**{f.name: spec(f.name) for f in dataclasses.fields(ViewGraph)})
+    kwargs = {
+        f.name: spec(f.name)
+        for f in dataclasses.fields(ViewGraph) if f.name != "chunk"
+    }
+    # The spec pytree's STATIC metadata (ViewGraph.chunk) must match the
+    # argument graph's, or shard_map's treedef comparison fails.
+    from gasfm_tpu.graph.view_graph import CHUNK as _DEFAULT_CHUNK
+
+    return ViewGraph(**kwargs, chunk=_DEFAULT_CHUNK if chunk is None else chunk)
 
 
-def scene_graph_specs(batched: bool = True, has_depths: bool = False) -> SceneGraph:
+def scene_graph_specs(batched: bool = True, has_depths: bool = False,
+                      chunk: Optional[int] = None) -> SceneGraph:
     """PartitionSpec pytree matching a (stacked) SceneGraph."""
     lead = (DATA_AXIS,) if batched else ()
     return SceneGraph(
-        graph=_graph_specs(batched),
+        graph=_graph_specs(batched, chunk=chunk),
         Ns=P(*lead),
         Ns_inv=P(*lead),
         Ps_gt=P(*lead),
@@ -261,8 +275,16 @@ def pad_scene_group(
 
 def _table_shard_ctx(conf, graph):
     """Enter the table-sharding context (owned-point mask) when
-    ``parallel.table_sharding`` is on; no-op context otherwise."""
-    if conf.get_bool("parallel.table_sharding", default=False):
+    ``parallel.table_sharding`` is on; no-op context otherwise.
+
+    Default (round-5): ON whenever the edge axis is really sharded —
+    the sub-linear boundary exchange beat the replicated full-table
+    combine at every measured shard count >= 2 (BENCHLOG section 25).
+    ``parallel.table_sharding = false`` restores the replicated combine."""
+    enabled = conf.get_bool("parallel.table_sharding", default=None)
+    if enabled is None:
+        enabled = jax.lax.axis_size(EDGE_AXIS) > 1
+    if enabled:
         return table_sharded(compute_owned_points(graph, EDGE_AXIS))
     return contextlib.nullcontext()
 
@@ -328,22 +350,28 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
         return params, opt_state, loss, repro, n_valid, grad_norm
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)
-    sharded = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(
-            P(), P(),
-            scene_graph_specs(batched=True, has_depths=has_depths),
-            P(DATA_AXIS),
-        ),
-        out_specs=(P(), P(), P(), P(), P(), P()),
-        check_vma=False,
-    )
-    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(chunk):
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(
+                P(), P(),
+                scene_graph_specs(batched=True, has_depths=has_depths,
+                                  chunk=chunk),
+                P(DATA_AXIS),
+            ),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
 
     def step(params, opt_state, batched_scene, weights):
-        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
-        return jitted(params, opt_state, batched_scene, weights)
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh,
+                                  chunk=batched_scene.graph.chunk)
+        return _jitted(batched_scene.graph.chunk)(
+            params, opt_state, batched_scene, weights)
 
     return step
 
@@ -394,22 +422,26 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
     if has_depths:
         pred_specs["depths"] = P(DATA_AXIS, EDGE_AXIS)
 
-    sharded = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(
-            P(),
-            scene_graph_specs(batched=True, has_depths=has_depths),
-            P(DATA_AXIS),
-        ),
-        out_specs=(P(), P(), P(), pred_specs),
-        check_vma=False,
-    )
-    jitted = jax.jit(sharded)
+    @functools.lru_cache(maxsize=None)
+    def _jitted(chunk):
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                scene_graph_specs(batched=True, has_depths=has_depths,
+                                  chunk=chunk),
+                P(DATA_AXIS),
+            ),
+            out_specs=(P(), P(), P(), pred_specs),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def step(params, batched_scene, weights):
-        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
-        return jitted(params, batched_scene, weights)
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh,
+                                  chunk=batched_scene.graph.chunk)
+        return _jitted(batched_scene.graph.chunk)(params, batched_scene, weights)
 
     return step
 
@@ -442,18 +474,24 @@ def make_sharded_train_step(conf, model, mesh: Mesh):
         return params, opt_state, loss
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)
-    sharded = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(), P(), scene_graph_specs(batched=True, has_depths=has_depths)),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted(chunk):
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(),
+                      scene_graph_specs(batched=True, has_depths=has_depths,
+                                        chunk=chunk)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
 
     def step(params, opt_state, batched_scene):
-        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
-        return jitted(params, opt_state, batched_scene)
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh,
+                                  chunk=batched_scene.graph.chunk)
+        return _jitted(batched_scene.graph.chunk)(params, opt_state, batched_scene)
 
     return step
 
@@ -490,17 +528,21 @@ def make_sharded_forward(conf, model, mesh: Mesh, grouped: bool = False):
     if conf.get_bool("model.scenepoint_head.enabled", default=False) is False:
         out_specs.pop("pts3D", None)
 
-    sharded = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(), scene_graph_specs(batched=True, has_depths=has_depths)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    jitted = jax.jit(sharded)
+    @functools.lru_cache(maxsize=None)
+    def _jitted(chunk):
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), scene_graph_specs(batched=True, has_depths=has_depths,
+                                             chunk=chunk)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def forward(params, batched_scene):
-        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh)
-        return jitted(params, batched_scene)
+        check_edge_shard_contract(batched_scene.graph.edge_mask.shape[-1], mesh,
+                                  chunk=batched_scene.graph.chunk)
+        return _jitted(batched_scene.graph.chunk)(params, batched_scene)
 
     return forward

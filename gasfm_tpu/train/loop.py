@@ -70,21 +70,38 @@ class GraphBucketizer:
     layout contract holds per shard."""
 
     def __init__(self, conf, n_edge_shards: int = 1):
-        from gasfm_tpu.graph.view_graph import CHUNK
-
         self.growth = conf.get_float("compile.edge_bucket_growth", default=1.3)
         self.cam_multiple = conf.get_int("compile.view_bucket_multiple", default=8)
         self.pt_multiple = conf.get_int("compile.point_bucket_multiple", default=256)
-        self.edge_multiple = CHUNK * max(int(n_edge_shards), 1)
         self.n_edge_shards = max(int(n_edge_shards), 1)
-        self.table_sharding = conf.get_bool("parallel.table_sharding", default=False)
+        # Per-scene chunk: an integer ``compile.chunk`` pins it; otherwise
+        # each scene's chunk comes from view_graph.choose_chunk (mean window
+        # run; GASFM_CHUNK in the environment still wins inside it).
+        self.pinned_chunk = conf.get_int("compile.chunk", default=None)
+        self.table_sharding = conf.get_bool("parallel.table_sharding", default=None)
+        if self.table_sharding is None:
+            # Default ON for multi-shard meshes: measured better than the
+            # replicated combine at every shard count >= 2 (BENCHLOG
+            # section 25); single-shard it is a no-op.
+            self.table_sharding = self.n_edge_shards > 1
+
+    def chunk_for(self, data: SceneData) -> int:
+        if self.pinned_chunk is not None:
+            return self.pinned_chunk
+        from gasfm_tpu.geometry.np_geo import get_M_valid_points
+        from gasfm_tpu.graph.view_graph import choose_chunk
+
+        valid = get_M_valid_points(np.asarray(data.M, dtype=np.float32))
+        return choose_chunk(int(valid.sum()), int(valid.any(axis=0).sum()))
 
     def __call__(self, data: SceneData):
+        chunk = self.chunk_for(data)
         sg = data.to_scene_graph(
             cam_multiple=self.cam_multiple,
             pt_multiple=self.pt_multiple,
-            edge_multiple=self.edge_multiple,
+            edge_multiple=chunk * self.n_edge_shards,
             growth=self.growth,
+            chunk=chunk,
         )
         if self.table_sharding and self.n_edge_shards > 1:
             # Host-side span<=2 contract of the boundary exchange (see
@@ -92,7 +109,8 @@ class GraphBucketizer:
             from gasfm_tpu.parallel import check_table_shard_contract
 
             check_table_shard_contract(
-                sg.graph.pt_window, self.n_edge_shards, sg.graph.edge_mask
+                sg.graph.pt_window, self.n_edge_shards, sg.graph.edge_mask,
+                chunk=sg.graph.chunk,
             )
         return sg
 
@@ -407,7 +425,8 @@ def epoch_train(
                     fused_group = valid_samples
             elif len(valid_samples) <= session.n_data:
                 caps = {
-                    (sg.graph.num_cams, sg.graph.num_pts, sg.graph.num_edges)
+                    (sg.graph.num_cams, sg.graph.num_pts, sg.graph.num_edges,
+                     sg.graph.chunk)
                     for _, sg in valid_samples
                 }
                 if len(caps) == 1:
@@ -603,13 +622,18 @@ def epoch_evaluation(
                 max(sg.graph.num_pts for _, _, sg in group),
                 max(sg.graph.num_edges for _, _, sg in group),
             )
+            # Stacked graphs must share ONE chunk (static pytree metadata).
+            # The group min is always safe: caps built at a larger chunk are
+            # multiples of the smaller one, and per-window padding only
+            # shrinks with the chunk.
+            chunk = min(sg.graph.chunk for _, _, sg in group)
             padded = []
             for curr_data, model_data, sg in group:
                 g = sg.graph
-                if (g.num_cams, g.num_pts, g.num_edges) != caps:
+                if (g.num_cams, g.num_pts, g.num_edges) != caps or g.chunk != chunk:
                     # Bucketed caps are multiples of the bucketizer grid,
                     # so the group max keeps every alignment contract.
-                    sg = model_data.to_scene_graph(caps=caps)
+                    sg = model_data.to_scene_graph(caps=caps, chunk=chunk)
                 padded.append((curr_data, sg))
             try:
                 begin = time()
@@ -758,6 +782,13 @@ def train(
     # params must stay intact (parity: the reference deep-copies the model,
     # train.py:390).
     params = jax.tree_util.tree_map(jnp.array, params)
+    # train.param_dtype: carry the weights in bf16 from step 0 (mirrors
+    # create_train_state). Without this, tx.update's f32-master wrapper
+    # would flip params to bf16 mid-run after the first update, retracing
+    # every jitted step and giving step 0 different numerics (ADVICE r4).
+    from gasfm_tpu.train.state import cast_params_for_training
+
+    params = cast_params_for_training(conf, params)
     opt_state = session.tx.init(params)
     n_updates = 0
 

@@ -52,11 +52,18 @@ def _scale_by_adam_cast(b1, b2, eps, mu_dtype=None, nu_dtype=None):
 
     def update(updates, state, params=None):
         del params
+        # Accumulate in >= f32 regardless of gradient dtype: a future caller
+        # feeding bf16 gradients directly must not silently compound bf16
+        # rounding into the moments each step (ADVICE r4) — the casts below
+        # happen at state-store time only, as the docstring promises.
+        acc = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.promote_types(g.dtype, jnp.float32)), updates
+        )
         mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m.astype(g.dtype) + (1.0 - b1) * g, state.mu, updates
+            lambda m, g: b1 * m.astype(g.dtype) + (1.0 - b1) * g, state.mu, acc
         )
         nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v.astype(g.dtype) + (1.0 - b2) * (g * g), state.nu, updates
+            lambda v, g: b2 * v.astype(g.dtype) + (1.0 - b2) * (g * g), state.nu, acc
         )
         count = optax.safe_increment(state.count)
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)

@@ -7,9 +7,13 @@ fraction and end-to-end edges/s on both distributions at a matched scale
 (~AlcatrazCourtyard shape: 133 views / ~25k points), guarding the layout's
 locality assumptions before real data arrives (round-3 verdict item 6).
 
+Round 5: scenes go through the production GraphBucketizer, whose chunk
+rule (view_graph.choose_chunk) picks each scene's edge-chunk length from
+its mean window run — 1024 for the dense uniform scene, 512 for the
+power-law one — with no env overrides (round-4 verdict item 3).
+
 Run on the TPU:
-  GASFM_CHUNK=1024 [GASFM_STREAM_DTYPE=bf16] timeout 1800 \
-      python scripts/powerlaw_bench.py
+  [GASFM_STREAM_DTYPE=bf16] timeout 1800 python scripts/powerlaw_bench.py
 """
 
 from __future__ import annotations
@@ -22,8 +26,6 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(_REPO))
 
-os.environ.setdefault("GASFM_CHUNK", "1024")
-
 import jax
 import numpy as np
 
@@ -31,9 +33,9 @@ import numpy as np
 def main():
     from __graft_entry__ import _flagship_conf
     from gasfm_tpu.data.synthetic import generate_synthetic_scene
-    from gasfm_tpu.graph.view_graph import CHUNK
     from gasfm_tpu.losses import get_loss_func
     from gasfm_tpu.models import get_model
+    from gasfm_tpu.train.loop import GraphBucketizer
     from gasfm_tpu.train.state import build_optimizer
     from gasfm_tpu.utils.benchstep import make_run_steps
 
@@ -41,6 +43,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     conf = _flagship_conf(small=False)
+    bucketize = GraphBucketizer(conf)
     model = get_model(conf)
     loss_func = get_loss_func(conf)
     tx, _ = build_optimizer(conf)
@@ -55,11 +58,11 @@ def main():
     STEPS = 64
     for name, kw in scenes.items():
         data = generate_synthetic_scene(seed=0, **kw)
-        scene = data.to_scene_graph()
+        scene = bucketize(data)  # production bucketizer: auto chunk
         g = scene.graph
         e_valid = int(g.e_true)
         e_cap = g.num_edges
-        em = np.asarray(g.edge_mask).reshape(-1, CHUNK)
+        em = np.asarray(g.edge_mask).reshape(-1, g.chunk)
         dead = int((~em.any(axis=1)).sum())
         track_lens = np.asarray(g.cam_per_pts)
         track_lens = track_lens[track_lens > 0]
@@ -71,7 +74,7 @@ def main():
         float(run_steps(params, opt_state, scene, STEPS)[2])
         dt = (time.perf_counter() - t0) / STEPS
         print(
-            f"{name:14s}: E_valid={e_valid:7d} E_cap={e_cap:7d} "
+            f"{name:14s}: chunk={g.chunk} E_valid={e_valid:7d} E_cap={e_cap:7d} "
             f"padding={(e_cap - e_valid) / e_cap:5.1%} "
             f"dead_chunks={dead}/{em.shape[0]} "
             f"track_len mean={track_lens.mean():5.2f} med={np.median(track_lens):4.0f} "

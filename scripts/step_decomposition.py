@@ -30,7 +30,7 @@ from __graft_entry__ import _flagship_conf
 from gasfm_tpu.data.synthetic import generate_synthetic_scene
 from gasfm_tpu.losses import get_loss_func
 from gasfm_tpu.models import get_model
-from gasfm_tpu.train.state import build_optimizer
+from gasfm_tpu.train.state import apply_param_updates, build_optimizer
 
 
 def timed_scan(fn, carry, scene, n):
@@ -106,7 +106,11 @@ def main():
 
             g = jax.grad(loss_fn)(p)
             updates, o = tx.update(g, o, p)
-            p = optax.apply_updates(p, updates)
+            # NOT optax.apply_updates: under GASFM_PARAM_DTYPE=bf16 the
+            # f32-master wrapper returns the NEW params as `updates`
+            # (train/state._with_f32_master) and adding them would double
+            # the weights silently.
+            p = apply_param_updates(p, updates, o)
             return (p, o)
 
         t = timed_scan(full_step, (params, opt_state), scene, n)
@@ -116,7 +120,7 @@ def main():
         def adam_only(carry, scene):
             p, o = carry
             updates, o = tx.update(p, o, p)
-            p = optax.apply_updates(p, updates)
+            p = apply_param_updates(p, updates, o)
             return (p, o)
 
         t = timed_scan(adam_only, (params, opt_state), scene, n)

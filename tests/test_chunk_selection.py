@@ -1,0 +1,137 @@
+"""Per-graph edge-chunk selection (round-5): the chunk is a static property
+of each ViewGraph, picked automatically by the production bucketizer from
+the scene's mean window run (view_graph.choose_chunk), and graphs with
+different chunks coexist in one process — one compiled program per
+(caps, chunk) key.
+
+Pins the selection rule to the BENCHLOG section 22-23 measurements: the
+dense bench scene (mean window run ~1800) runs fastest at 1024, the
+power-law scene (~370) at 512.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gasfm_tpu.config import ConfigFactory
+from gasfm_tpu.data.synthetic import generate_synthetic_scene
+from gasfm_tpu.graph.view_graph import WINDOW, choose_chunk
+
+
+def _bucketizer(n_edge_shards=1, **conf_puts):
+    from gasfm_tpu.train.loop import GraphBucketizer
+
+    conf = ConfigFactory.parse_string("dataset { calibrated = true }")
+    for k, v in conf_puts.items():
+        conf.put(k, v)
+    return GraphBucketizer(conf, n_edge_shards=n_edge_shards)
+
+
+class TestChooseChunk:
+    def test_rule_anchors(self, monkeypatch):
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        # Dense bench scene: 115,605 valid edges / 8,192 points -> mean
+        # window run ~1806 -> 1024 (BENCHLOG section 22: +7% over 512).
+        assert choose_chunk(115605, 8192) == 1024
+        # Power-law scene: 70,465 / 24,576 -> run ~367 -> 512 (section 23:
+        # 2.42M vs 1.53M edges/s at 1024).
+        assert choose_chunk(70465, 24576) == 512
+        # Very sparse / tiny scenes -> 256.
+        assert choose_chunk(100, 1024) == 256
+        # Boundaries: run == threshold picks the larger chunk.
+        assert choose_chunk(1024, WINDOW) == 1024  # run == 1024
+        assert choose_chunk(256, WINDOW) == 512  # run == 256
+
+    def test_env_override_wins(self, monkeypatch):
+        monkeypatch.setenv("GASFM_CHUNK", "512")
+        import gasfm_tpu.graph.view_graph as vg
+
+        # choose_chunk defers to the env-pinned process default.
+        assert choose_chunk(115605, 8192) == vg.CHUNK
+
+
+class TestBucketizerChunk:
+    def test_per_scene_chunks(self, monkeypatch):
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        b = _bucketizer()
+        dense = generate_synthetic_scene(n_views=48, n_points=512,
+                                         visibility=0.5, seed=0)
+        sparse = generate_synthetic_scene(n_views=133, n_points=4096,
+                                          track_length_dist="powerlaw", seed=0)
+        sg_d = b(dense)
+        sg_s = b(sparse)
+        assert sg_d.graph.chunk == 1024  # run = 48*0.5*128 ~ 3072
+        assert sg_s.graph.chunk == 512
+        # Layout invariants hold per chunk.
+        for sg in (sg_d, sg_s):
+            g = sg.graph
+            assert g.num_edges % g.chunk == 0
+            assert g.pt_segment_windows() is not None
+            wb = np.asarray(g.pt_window).reshape(-1, g.chunk)
+            assert (wb == wb[:, :1]).all(), "chunk spans one point window"
+
+    def test_pinned_chunk_conf(self, monkeypatch):
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        b = _bucketizer(**{"compile.chunk": 512})
+        dense = generate_synthetic_scene(n_views=48, n_points=512,
+                                         visibility=0.5, seed=0)
+        assert b(dense).graph.chunk == 512
+
+    def test_sharded_edge_multiple_follows_chunk(self, monkeypatch):
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        b = _bucketizer(n_edge_shards=2)
+        dense = generate_synthetic_scene(n_views=48, n_points=512,
+                                         visibility=0.5, seed=0)
+        g = b(dense).graph
+        assert g.num_edges % (2 * g.chunk) == 0
+
+
+class TestChunkCoexistence:
+    @pytest.mark.parametrize("mode", ["off", "interpret"])
+    def test_two_chunks_one_process(self, mode, monkeypatch):
+        """The same scene built at chunk 512 and 1024 produces the same
+        model output in ONE process (exactly on the XLA path; to kernel
+        reassociation tolerance on the Pallas path — the same noise floor
+        as kernel-vs-XLA at a single chunk)."""
+        import jax
+
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.ops import segment as seg
+
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        conf = ConfigFactory.parse_string("""
+dataset { calibrated = true }
+model {
+  type = "graph_attn_sfm.GraphAttnSfMNet"
+  n_heads = 2, stateful_global_features = true
+  global2view_and_global2scenepoint_enabled = false
+  n_feat_proj = 32, n_feat_scenepoint = 16, n_feat_view = 32
+  n_feat_global = 64, num_layers = 3
+  n_hidden_layers_scenepoint_update = 0, n_hidden_layers_view_update = 0
+  n_hidden_layers_global_update = 0, n_hidden_layers_proj_update = 0
+  use_norm_proj_update = true, add_residual_skipconn_proj_update = true
+  add_skipconn_from_init_projfeat = true, pos_emb_n_freq = 0
+  depth_head { enabled = false }
+  view_head { enabled = true, n_hidden_layers = 2, rot_representation = "quat" }
+  scenepoint_head { enabled = true, n_hidden_layers = 2 }
+}
+""")
+        model = get_model(conf)
+        data = generate_synthetic_scene(n_views=10, n_points=256, seed=0)
+        prev = seg.get_kernel_mode()
+        seg.set_kernel_mode(mode)
+        try:
+            outs = {}
+            for chunk in (512, 1024):
+                sg = data.to_scene_graph(chunk=chunk)
+                params = jax.jit(model.init)(jax.random.PRNGKey(0), sg.graph)
+                pred = jax.jit(model.apply)(params, sg.graph)
+                outs[chunk] = np.asarray(pred["Ps_norm"])
+        finally:
+            seg.set_kernel_mode(prev)
+        if mode == "off":
+            np.testing.assert_array_equal(outs[512], outs[1024])
+        else:
+            np.testing.assert_allclose(outs[512], outs[1024],
+                                       atol=5e-4, rtol=2e-3)

@@ -234,7 +234,14 @@ class TestProductionMeshTrainer:
             for s in range(3)
         ]
         conf_single = ConfigFactory.parse_string(CONF)
-        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 4] }\n")
+        conf_mesh = ConfigFactory.parse_string(
+            # table_sharding pinned off: these tests assert (near-)bit
+            # exactness vs single device; the round-5 default (on for
+            # n_edge > 1) reorders point-side sums — covered at
+            # tolerance by TestTableSharding and the default-path check
+            # in TestProductionMeshTrainer.
+            CONF + "\nparallel { mesh_shape = [2, 4], table_sharding = false }\n"
+        )
 
         # ONE epoch, ONE batch of 3 valid samples > n_data=2: exercises the
         # production accumulation path (per-sample sharded grads summed, one
@@ -255,6 +262,31 @@ class TestProductionMeshTrainer:
             a, b = np.asarray(a), np.asarray(b)
             np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-3)
 
+        # DEFAULT mesh path (round-5: table_sharding auto-on for n_edge > 1):
+        # the boundary-exchange combine is exact math with different float
+        # association, so compare LOSS and GRADIENTS at tolerance —
+        # post-Adam params are not comparable on zero-gradient leaves
+        # (Adam's first debiased update is ±lr whatever the gradient
+        # magnitude, so noise-level sign flips move params by 2*lr).
+        from gasfm_tpu.train.loop import TrainingSession
+
+        conf_mesh_dflt = ConfigFactory.parse_string(
+            CONF + "\nparallel { mesh_shape = [2, 4] }\n"
+        )
+        model = get_model(conf_mesh_dflt)
+        session_dflt = TrainingSession(conf_mesh_dflt, model)
+        assert session_dflt.bucketize.table_sharding  # default flipped on
+        session_rep = TrainingSession(conf_mesh, model)
+        sg = session_dflt.bucketize(scenes_data[0])
+        params0 = model.init(jax.random.PRNGKey(7), sg.graph)
+        l_d, _, g_d = session_dflt.loss_and_grads(params0, sg)
+        l_r, _, g_r = session_rep.loss_and_grads(params0, sg)
+        assert float(l_d) == pytest.approx(float(l_r), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_d)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(float(np.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=2e-3)
+
         # The production eval forward on the mesh matches too.
         sg = session_mesh.bucketize(scenes_data[0])
         pred_mesh = session_mesh.forward(p_mesh, sg)
@@ -271,7 +303,11 @@ class TestProductionMeshTrainer:
         from gasfm_tpu.data.synthetic import generate_synthetic_scene
         from gasfm_tpu.train.loop import TrainingSession
 
-        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 2] }\n")
+        # table_sharding pinned off: this is an EXACTNESS test (see the
+        # pin note in test_epoch_train_matches_single_device).
+        conf_mesh = ConfigFactory.parse_string(
+            CONF + "\nparallel { mesh_shape = [2, 2], table_sharding = false }\n"
+        )
         conf_single = ConfigFactory.parse_string(CONF)
         data = generate_synthetic_scene(n_views=6, n_points=48, seed=0)
 
@@ -452,7 +488,14 @@ class TestGroupedMeshEval:
             for s in range(3)
         ]
         conf_single = ConfigFactory.parse_string(CONF)
-        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 4] }\n")
+        conf_mesh = ConfigFactory.parse_string(
+            # table_sharding pinned off: these tests assert (near-)bit
+            # exactness vs single device; the round-5 default (on for
+            # n_edge > 1) reorders point-side sums — covered at
+            # tolerance by TestTableSharding and the default-path check
+            # in TestProductionMeshTrainer.
+            CONF + "\nparallel { mesh_shape = [2, 4], table_sharding = false }\n"
+        )
 
         model = get_model(conf_single)
         session_s = TrainingSession(conf_single, model)
@@ -496,7 +539,14 @@ class TestGroupedMeshEval:
             generate_synthetic_scene(n_views=8, n_points=120, seed=2, scene_name="mid"),
         ]
         conf_single = ConfigFactory.parse_string(CONF)
-        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 4] }\n")
+        conf_mesh = ConfigFactory.parse_string(
+            # table_sharding pinned off: these tests assert (near-)bit
+            # exactness vs single device; the round-5 default (on for
+            # n_edge > 1) reorders point-side sums — covered at
+            # tolerance by TestTableSharding and the default-path check
+            # in TestProductionMeshTrainer.
+            CONF + "\nparallel { mesh_shape = [2, 4], table_sharding = false }\n"
+        )
 
         model = get_model(conf_single)
         session_s = TrainingSession(conf_single, model)
