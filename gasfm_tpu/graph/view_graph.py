@@ -86,17 +86,22 @@ def choose_chunk(n_valid_edges: int, n_points: int) -> int:
     WINDOW) sets the padding/amortization trade: each block's edge run pads
     up to a chunk multiple, so short runs at a long chunk waste most slots
     (BENCHLOG section 23: the power-law scene pads 72% at 1024 vs 39% at
-    512), while long runs amortize per-chunk fixed costs best at 1024
-    (section 22: +7% over 512 on the dense bench scene). Anchored to those
-    measurements: run >= 1024 -> 1024, >= 256 -> 512, else 256 (tiny/very
-    sparse scenes; chunk 256 also disables the packed-stream layout, which
-    needs chunk % 512 == 0 — acceptable where scenes are that small).
+    512), while long runs amortize per-chunk fixed costs best at long chunks
+    (section 22: 1024 is +7% over 512 on the dense bench scene; round 5:
+    2048 — unblocked by sub-chunking the unpacked first-layer frontend at
+    1024 — measured another +0.9% at that scene's run of ~1800). Anchored to
+    those measurements: run >= 1792 -> 2048, >= 1024 -> 1024, >= 256 -> 512,
+    else 256 (tiny/very sparse scenes; chunk 256 also disables the
+    packed-stream layout, which needs chunk % 512 == 0 — acceptable where
+    scenes are that small).
 
     If GASFM_CHUNK is set it wins (the perf-experiment escape hatch).
     """
     if "GASFM_CHUNK" in _os.environ:
         return CHUNK
     run = n_valid_edges * WINDOW / max(n_points, 1)
+    if run >= 1792:
+        return 2048
     if run >= 1024:
         return 1024
     if run >= 256:

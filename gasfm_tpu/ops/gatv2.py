@@ -358,6 +358,21 @@ def gatv2_layer_frontend(
         from gasfm_tpu.ops.pallas.fused_dual_attn import fused_frontend
 
         chunk = E // window.block.shape[0]  # per-graph chunk
+        wb = window.block
+        nlive = window.nlive if edge_mask is not None else None
+        if not packed and chunk > 1024:
+            # Sub-chunk the UNPACKED frontend at 1024: its backward's VMEM
+            # footprint scales with the chunk (17.7 MB > the 16 MB scoped
+            # limit at 2048 — the round-4 CHUNK=2048 blocker), while
+            # window-constancy holds for any aligned sub-chunk of a chunk.
+            # Sub-chunk liveness is no longer a global prefix (a live
+            # chunk's padded tail sub-chunks sit before the next block's
+            # live ones), so the dead-chunk skip is disabled here — the
+            # unpacked frontend runs once per step (first layer only).
+            f = chunk // 1024
+            chunk = 1024
+            wb = jnp.repeat(wb, f)
+            nlive = None
         W = WINDOW
         s_pad = _round_up(num_pts, W)
         Wc = _round_up(max(num_cams, 1), 128)
@@ -372,10 +387,10 @@ def gatv2_layer_frontend(
             wlp, blp.reshape(1, Hp * Cp), wlc, blc.reshape(1, Hc * Cc),
             xr_p.reshape(num_pts, Hp * Cp), xr_c.reshape(num_cams, Hc * Cc),
             att_p.reshape(1, Hp * Cp), att_c.reshape(1, Hc * Cc),
-            pids.reshape(-1, chunk), cids.reshape(-1, chunk), window.block,
+            pids.reshape(-1, chunk), cids.reshape(-1, chunk), wb,
             num_pts, num_cams, W, Wc, negative_slope, _kernel_interpret(),
             edge_axis=current_edge_axis(), packed=packed,
-            nlive=window.nlive if edge_mask is not None else None,
+            nlive=nlive,
             raw_prologue=raw_prologue,
         )
         if window.row_ok is not None:

@@ -32,14 +32,19 @@ class TestChooseChunk:
     def test_rule_anchors(self, monkeypatch):
         monkeypatch.delenv("GASFM_CHUNK", raising=False)
         # Dense bench scene: 115,605 valid edges / 8,192 points -> mean
-        # window run ~1806 -> 1024 (BENCHLOG section 22: +7% over 512).
-        assert choose_chunk(115605, 8192) == 1024
+        # window run ~1806 -> 2048 (round 5: +0.9% over 1024 measured at
+        # exactly this scene once the first-layer frontend sub-chunks).
+        assert choose_chunk(115605, 8192) == 2048
+        # Mid-density: run ~1250 -> 1024 (BENCHLOG section 22: +7% over
+        # 512 on dense scenes).
+        assert choose_chunk(80000, 8192) == 1024
         # Power-law scene: 70,465 / 24,576 -> run ~367 -> 512 (section 23:
         # 2.42M vs 1.53M edges/s at 1024).
         assert choose_chunk(70465, 24576) == 512
         # Very sparse / tiny scenes -> 256.
         assert choose_chunk(100, 1024) == 256
         # Boundaries: run == threshold picks the larger chunk.
+        assert choose_chunk(1792, WINDOW) == 2048  # run == 1792
         assert choose_chunk(1024, WINDOW) == 1024  # run == 1024
         assert choose_chunk(256, WINDOW) == 512  # run == 256
 
@@ -61,7 +66,7 @@ class TestBucketizerChunk:
                                           track_length_dist="powerlaw", seed=0)
         sg_d = b(dense)
         sg_s = b(sparse)
-        assert sg_d.graph.chunk == 1024  # run = 48*0.5*128 ~ 3072
+        assert sg_d.graph.chunk == 2048  # run = 48*0.5*128 ~ 3072
         assert sg_s.graph.chunk == 512
         # Layout invariants hold per chunk.
         for sg in (sg_d, sg_s):
