@@ -4,8 +4,9 @@ the scene's mean window run (view_graph.choose_chunk), and graphs with
 different chunks coexist in one process — one compiled program per
 (caps, chunk) key.
 
-Pins the selection rule to the BENCHLOG section 22-23 measurements: the
-dense bench scene (mean window run ~1800) runs fastest at 1024, the
+Pins the selection rule to the BENCHLOG section 22-23 / round-5
+measurements: the dense bench scene (mean window run ~1800) runs fastest
+at 2048 (once the unpacked first-layer frontend sub-chunks), the
 power-law scene (~370) at 512.
 """
 
@@ -93,9 +94,16 @@ class TestBucketizerChunk:
 
 
 class TestChunkCoexistence:
-    @pytest.mark.parametrize("mode", ["off", "interpret"])
-    def test_two_chunks_one_process(self, mode, monkeypatch):
-        """The same scene built at chunk 512 and 1024 produces the same
+    @pytest.mark.parametrize("mode,chunks", [
+        ("off", (512, 1024)),
+        ("interpret", (512, 1024)),
+        # chunk 2048 exercises the sub-chunked unpacked first-layer
+        # frontend (ops/gatv2: chunk > 1024 splits at 1024 with repeated
+        # window blocks — the round-5 VMEM workaround).
+        ("interpret", (512, 2048)),
+    ])
+    def test_two_chunks_one_process(self, mode, chunks, monkeypatch):
+        """The same scene built at two different chunks produces the same
         model output in ONE process (exactly on the XLA path; to kernel
         reassociation tolerance on the Pallas path — the same noise floor
         as kernel-vs-XLA at a single chunk)."""
@@ -105,6 +113,7 @@ class TestChunkCoexistence:
         from gasfm_tpu.ops import segment as seg
 
         monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        c_a, c_b = chunks
         conf = ConfigFactory.parse_string("""
 dataset { calibrated = true }
 model {
@@ -128,7 +137,7 @@ model {
         seg.set_kernel_mode(mode)
         try:
             outs = {}
-            for chunk in (512, 1024):
+            for chunk in chunks:
                 sg = data.to_scene_graph(chunk=chunk)
                 params = jax.jit(model.init)(jax.random.PRNGKey(0), sg.graph)
                 pred = jax.jit(model.apply)(params, sg.graph)
@@ -136,7 +145,7 @@ model {
         finally:
             seg.set_kernel_mode(prev)
         if mode == "off":
-            np.testing.assert_array_equal(outs[512], outs[1024])
+            np.testing.assert_array_equal(outs[c_a], outs[c_b])
         else:
-            np.testing.assert_allclose(outs[512], outs[1024],
+            np.testing.assert_allclose(outs[c_a], outs[c_b],
                                        atol=5e-4, rtol=2e-3)
