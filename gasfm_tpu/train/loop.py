@@ -45,6 +45,7 @@ from gasfm_tpu.losses import get_loss_func
 from gasfm_tpu.train.state import build_optimizer, save_params
 from gasfm_tpu.utils import paths
 from gasfm_tpu.utils.observability import (
+    ProfilerWindow,
     dump_predictions,
     get_tb_writer,
     tb_log_eval_step,
@@ -940,6 +941,10 @@ def train(
     n_epochs_post_warmup = None if lr_warmup_n_steps > 0 else 0
     final_params = None
     curr_train_loader = train_loader
+    # jax.profiler trace window (observability.profile_start_epoch/
+    # profile_n_epochs) — the TPU-native upgrade of the reference's
+    # wall-clock-only timing (train.py:190-205; SURVEY section 5).
+    profiler = ProfilerWindow(conf)
 
     for epoch in range(start_epoch, n_epochs):
         if phase == Phases.TRAINING:
@@ -962,6 +967,7 @@ def train(
                     subscene_ds = ScenesDataSet([subscene], return_all=True)
                     curr_train_loader = SceneLoader(subscene_ds, batch_size=1, shuffle=False)
 
+        profiler.maybe_start(epoch)
         params, opt_state, n_updates, mean_loss, _, n_batches = epoch_train(
             conf, session, curr_train_loader, params, opt_state, n_updates, epoch, phase,
             tb_writer, outlier_injection_rate=outlier_injection_rate,
@@ -970,6 +976,7 @@ def train(
             tb_log_train_per_scene=tb_log_train_per_scene if phase == Phases.TRAINING else None,
             rng=rng,
         )
+        profiler.maybe_stop(epoch)
         total_n_batches += n_batches
 
         if n_epochs_post_warmup is not None:
@@ -1025,6 +1032,8 @@ def train(
                     f"model_epoch{epoch + 1:06d}.npz",
                 )
                 save_params(path, params)
+
+    profiler.close()
 
     if final_params is None:
         final_params = jax.tree_util.tree_map(np.asarray, params)

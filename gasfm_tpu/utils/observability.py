@@ -39,6 +39,53 @@ def reset_tb_writer():
     _tb_writer = None
 
 
+class ProfilerWindow:
+    """Conf-gated ``jax.profiler`` trace capture over a window of train epochs.
+
+    The reference's only profiling is wall-clock inference timing
+    (train.py:190-205; SURVEY section 5 names jax.profiler traces as the
+    TPU-native equivalent). Setting ``observability.profile_start_epoch``
+    captures ``observability.profile_n_epochs`` epochs (default 1) of the
+    training loop — device kernels, XLA fusions, host callbacks — into
+    ``<tb_events>/profile``, viewable in TensorBoard's profile plugin or
+    Perfetto. Disabled (all methods no-ops) when the key is unset, so the
+    hot loop carries no overhead by default.
+    """
+
+    def __init__(self, conf):
+        self.start = conf.get_int("observability.profile_start_epoch", default=None)
+        self.n_epochs = conf.get_int("observability.profile_n_epochs", default=1)
+        self.logdir = (
+            os.path.join(paths.path_to_tb_events(conf), "profile")
+            if self.start is not None
+            else None
+        )
+        self._active = False
+
+    def maybe_start(self, epoch: int):
+        if self.start is not None and epoch == self.start and not self._active:
+            import jax
+
+            os.makedirs(self.logdir, exist_ok=True)
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+
+    def maybe_stop(self, epoch: int):
+        """Stop after the last epoch of the window (inclusive)."""
+        if self._active and epoch >= self.start + self.n_epochs - 1:
+            self.close()
+
+    def close(self):
+        """Idempotent; the loop also calls it after the epoch loop so a
+        window truncated by early stopping still flushes a valid trace."""
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"[profiler] trace written to {self.logdir}")
+
+
 def dump_predictions(conf, pred_dict: Dict, scene: str, phase, epoch=None, additional_identifiers=None):
     """npz prediction dumps (parity: general_utils.py:53-58)."""
     path = paths.path_to_predictions(

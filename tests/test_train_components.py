@@ -178,6 +178,48 @@ class TestTrainLoopResume:
         obs.reset_tb_writer()
 
 
+class TestProfilerWindow:
+    def test_profile_window_writes_trace(self, tmp_path, monkeypatch):
+        """observability.profile_start_epoch captures a jax.profiler trace of
+        the configured epoch window into <tb_events>/profile (SURVEY section 5:
+        the TPU-native replacement for the reference's wall-clock-only
+        timing)."""
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        import gasfm_tpu.utils.observability as obs
+
+        obs.reset_tb_writer()
+        import glob
+        import os
+
+        from gasfm_tpu.config import load_config
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.loaders import create_scene_data
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.loop import train
+        from gasfm_tpu.utils import paths
+        from gasfm_tpu.utils.phases import Phases
+
+        conf = load_config(os.path.join("synth", "optim_synth_dpesfm.conf"))
+        conf.put("exp_dir", "profile_test")
+        conf.put("train.n_epochs", 3)
+        conf.put("eval.eval_interval", 100)
+        conf.put("eval.eval_init", False)
+        conf.put("train.print_interval", None)
+        conf.put("observability.profile_start_epoch", 1)
+        conf.put("observability.profile_n_epochs", 1)
+
+        data = create_scene_data(conf)
+        loader = SceneLoader(ScenesDataSet([data], return_all=True), batch_size=1, prefetch=0)
+        model = get_model(conf)
+        params = model.init(jax.random.PRNGKey(0), data.to_scene_graph().graph)
+        train(conf, loader, model, params, Phases.OPTIMIZATION)
+
+        logdir = os.path.join(paths.path_to_tb_events(conf), "profile")
+        xplanes = glob.glob(os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb"))
+        assert xplanes, f"no xplane trace under {logdir}"
+        obs.reset_tb_writer()
+
+
 class TestAdamNuDtype:
     """_scale_by_adam_cast: optax.adam parity in f32, bounded drift in bf16."""
 
