@@ -91,13 +91,16 @@ def _roofline_edges_per_s(
     return hbm_gbps * 1e9 / total_bytes_per_edge
 
 
-def _measure_scene(model, loss_func, tx, scene, steps_per_call=128, reps=3):
-    """Steady-state per-step time of the full train step on `scene`."""
+def _measure_scene(conf, model, loss_func, tx, scene, steps_per_call=128, reps=3):
+    """Steady-state per-step time of the full train step on `scene`.
+
+    `conf` must be the SAME conf tx was built from: the param cast below has
+    to see main()'s train.param_dtype override, or the f32-master wrapper's
+    scan carry changes dtype mid-step under GASFM_PARAM_DTYPE=bf16.
+    """
     import jax
 
     from gasfm_tpu.utils.benchstep import make_run_steps
-
-    from __graft_entry__ import _flagship_conf  # conf only for cast
 
     # Jitted init: un-jitted flax init runs op-by-op, eagerly compiling ~270
     # tiny XLA programs (~2 min over the tunneled runtime); one jitted
@@ -108,7 +111,7 @@ def _measure_scene(model, loss_func, tx, scene, steps_per_call=128, reps=3):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene.graph)
     from gasfm_tpu.train.state import cast_params_for_training
 
-    params = cast_params_for_training(_flagship_conf(small=False), params)
+    params = cast_params_for_training(conf, params)
     opt_state = tx.init(params)
 
     run_steps = make_run_steps(model, loss_func, tx)
@@ -166,11 +169,11 @@ def main():
     # Headline scene: ~116k valid edges (m=128, n=8192, v=0.2) — flat region
     # of the measured scaling curve, Adam fixed cost amortized to ~13% of
     # the step (BENCHLOG sections 1-2). The bucketizer's chunk rule picks
-    # 1024 here (mean window run ~1800).
+    # 2048 here (mean window run ~1806 >= 1792; BENCHLOG section 32).
     data_u = generate_synthetic_scene(n_views=128, n_points=8192, visibility=0.2, seed=0)
     scene_u = bucketize(data_u)
     n_edges_u = int(scene_u.graph.e_true)
-    step_u, n_params = _measure_scene(model, loss_func, tx, scene_u)
+    step_u, n_params = _measure_scene(conf, model, loss_func, tx, scene_u)
     edges_per_s = n_edges_u / step_u
 
     # Realistic scene: truncated-Pareto track lengths (~AlcatrazCourtyard
@@ -180,7 +183,7 @@ def main():
     )
     scene_p = bucketize(data_p)
     n_edges_p = int(scene_p.graph.e_true)
-    step_p, _ = _measure_scene(model, loss_func, tx, scene_p)
+    step_p, _ = _measure_scene(conf, model, loss_func, tx, scene_p)
     powerlaw_edges_per_s = n_edges_p / step_p
 
     platform = jax.devices()[0].platform
@@ -234,6 +237,7 @@ def main():
             "stream_dtype": os.environ["GASFM_STREAM_DTYPE"],
             "adam_mu_dtype": "bf16" if mu_bf16 else "f32",
             "adam_nu_dtype": "bf16" if nu_bf16 else "f32",
+            "param_dtype": os.environ.get("GASFM_PARAM_DTYPE", "f32"),
             "chunk": chunk_u,
             "powerlaw_chunk": scene_p.graph.chunk,
         },

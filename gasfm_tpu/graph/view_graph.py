@@ -75,8 +75,11 @@ CHUNK = int(_os.environ.get("GASFM_CHUNK", "512"))
 # off-grid override would fail far from here with confusing Mosaic errors.
 # Multi-host runs must set it identically in every process (it shapes the
 # compiled programs). Raise (not assert): the check must survive python -O.
-if CHUNK <= 0 or CHUNK % 128 != 0:
-    raise ValueError(f"GASFM_CHUNK must be a positive multiple of 128, got {CHUNK}")
+if CHUNK <= 0 or CHUNK % 128 != 0 or (CHUNK > 1024 and CHUNK % 1024 != 0):
+    raise ValueError(
+        "GASFM_CHUNK must be a positive multiple of 128 (and of 1024 when "
+        f"above 1024 — the first-layer frontend sub-chunks at 1024), got {CHUNK}"
+    )
 
 
 def choose_chunk(n_valid_edges: int, n_points: int) -> int:
@@ -254,8 +257,12 @@ def build_view_graph(
     from gasfm_tpu.geometry.np_geo import get_M_valid_points, normalize_M
 
     chunk = CHUNK if chunk is None else int(chunk)
-    if chunk <= 0 or chunk % 128 != 0:
-        raise ValueError(f"chunk must be a positive multiple of 128, got {chunk}")
+    if chunk <= 0 or chunk % 128 != 0 or (chunk > 1024 and chunk % 1024 != 0):
+        raise ValueError(
+            "chunk must be a positive multiple of 128 (and of 1024 when above "
+            "1024: the unpacked first-layer frontend sub-chunks at 1024, which "
+            f"requires chunk % 1024 == 0 — see ops/gatv2.py), got {chunk}"
+        )
     # The edge cap must stay a chunk multiple or pt_segment_windows() returns
     # None and every Pallas kernel silently falls back to XLA (measured 6x
     # slower at bench shapes). The old fixed default of 512 did exactly that

@@ -369,6 +369,13 @@ def gatv2_layer_frontend(
             # chunk's padded tail sub-chunks sit before the next block's
             # live ones), so the dead-chunk skip is disabled here — the
             # unpacked frontend runs once per step (first layer only).
+            if chunk % 1024 != 0:
+                # Guaranteed by build_view_graph's chunk validation; a
+                # violation here would otherwise read wb_ref out of bounds
+                # and silently map chunks to wrong point windows.
+                raise ValueError(
+                    f"sub-chunked frontend requires chunk % 1024 == 0, got {chunk}"
+                )
             f = chunk // 1024
             chunk = 1024
             wb = jnp.repeat(wb, f)

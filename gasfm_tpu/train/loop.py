@@ -87,12 +87,21 @@ class GraphBucketizer:
             self.table_sharding = self.n_edge_shards > 1
 
     def chunk_for(self, data: SceneData) -> int:
-        if self.pinned_chunk is not None:
-            return self.pinned_chunk
-        from gasfm_tpu.geometry.np_geo import get_M_valid_points
         from gasfm_tpu.graph.view_graph import choose_chunk
 
-        valid = get_M_valid_points(np.asarray(data.M, dtype=np.float32))
+        env_chunk = os.environ.get("GASFM_CHUNK")
+        if env_chunk is not None:
+            # The documented perf-sweep escape hatch wins even over a conf
+            # pin (it also wins inside choose_chunk) — otherwise a sweep
+            # against a pinned conf silently measures one configuration.
+            # Read live (not view_graph.CHUNK): the module constant is an
+            # import-time snapshot. build_view_graph validates the value.
+            return int(env_chunk)
+        if self.pinned_chunk is not None:
+            return self.pinned_chunk
+        # data.valid_pts is computed once at SceneData construction — no
+        # second O(m*n) M scan here; build_view_graph does its own pass.
+        valid = data.valid_pts
         return choose_chunk(int(valid.sum()), int(valid.any(axis=0).sum()))
 
     def __call__(self, data: SceneData):

@@ -84,6 +84,26 @@ class TestBucketizerChunk:
                                          visibility=0.5, seed=0)
         assert b(dense).graph.chunk == 512
 
+    def test_env_override_beats_conf_pin(self, monkeypatch):
+        """GASFM_CHUNK is the documented sweep escape hatch: it must win
+        even when the conf pins compile.chunk, or a sweep against a pinned
+        conf silently measures one configuration repeatedly."""
+        monkeypatch.setenv("GASFM_CHUNK", "1024")
+        b = _bucketizer(**{"compile.chunk": 512})
+        dense = generate_synthetic_scene(n_views=48, n_points=512,
+                                         visibility=0.5, seed=0)
+        assert b.chunk_for(dense) == 1024
+
+    def test_off_grid_chunk_rejected(self):
+        """chunk > 1024 must be a 1024-multiple (the unpacked first-layer
+        frontend sub-chunks at 1024; e.g. 1536 would read the window-block
+        prefetch array out of bounds)."""
+        data = generate_synthetic_scene(n_views=10, n_points=256, seed=0)
+        with pytest.raises(ValueError, match="1024"):
+            data.to_scene_graph(chunk=1536)
+        with pytest.raises(ValueError, match="128"):
+            data.to_scene_graph(chunk=100)
+
     def test_sharded_edge_multiple_follows_chunk(self, monkeypatch):
         monkeypatch.delenv("GASFM_CHUNK", raising=False)
         b = _bucketizer(n_edge_shards=2)
