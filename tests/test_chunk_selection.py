@@ -113,6 +113,49 @@ class TestBucketizerChunk:
         assert g.num_edges % (2 * g.chunk) == 0
 
 
+class TestMixedChunkEpoch:
+    def test_two_auto_chunks_through_production_epoch_train(self, tmp_path, monkeypatch):
+        """Two scenes whose automatic chunks DIFFER run through one
+        production epoch_train (one TrainingSession, one fused-step jit
+        cache keyed on the static graph.chunk) — the loop-level guarantee
+        behind per-scene chunk selection."""
+        import os
+
+        import jax
+
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        from gasfm_tpu.config import load_config
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.loop import TrainingSession, epoch_train
+        from gasfm_tpu.utils.phases import Phases
+
+        conf = load_config(os.path.join("synth", "learning_synth_gasfm.conf"))
+        conf.put("exp_dir", "mixed_chunk_test")
+        dense = generate_synthetic_scene(n_views=16, n_points=256,
+                                         visibility=0.9, seed=0)  # chunk 1024
+        sparse = generate_synthetic_scene(n_views=40, n_points=1024,
+                                          track_length_dist="powerlaw", seed=1)
+        model = get_model(conf)
+        session = TrainingSession(conf, model)
+        assert session.bucketize.chunk_for(dense) != session.bucketize.chunk_for(sparse)
+
+        loader = SceneLoader(
+            ScenesDataSet([dense, sparse], return_all=True),
+            batch_size=1, shuffle=False, prefetch=0,
+        )
+        graph = session.bucketize(dense).graph
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), graph)
+        opt_state = session.tx.init(params)
+        params, opt_state, n_updates, mean_loss, losses, n_batches = epoch_train(
+            conf, session, loader, params, opt_state, 0, 0, Phases.TRAINING,
+            tb_writer=None,
+        )
+        assert n_batches == 2 and n_updates == 2
+        assert np.isfinite(mean_loss) and len(losses) == 2
+
+
 class TestChunkCoexistence:
     @pytest.mark.parametrize("mode,chunks", [
         ("off", (512, 1024)),
