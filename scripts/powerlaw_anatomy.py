@@ -25,6 +25,12 @@ def measure(env_overrides, num_layers, label, scene_kind="powerlaw"):
     scene_line = {
         "powerlaw": "data = generate_synthetic_scene(n_views=133, n_points=24576,"
                     " track_length_dist='powerlaw', seed=0)",
+        # Same track-length distribution at a 3x smaller point table: if the
+        # excess per-layer marginal (vs the live-chunk kernel model) shrinks
+        # ~3x, the table-side cost is BYTES-bound (bf16 tables would pay);
+        # if it stays flat, it is per-op-floor-bound (only fusion pays).
+        "powerlaw8k": "data = generate_synthetic_scene(n_views=133, n_points=8192,"
+                      " track_length_dist='powerlaw', seed=0)",
         "uniform": "data = generate_synthetic_scene(n_views=128, n_points=8192,"
                    " visibility=0.2, seed=0)",
     }[scene_kind]
@@ -89,7 +95,7 @@ print(f"RESULT {{dt*1e3:.3f}} ms/step  {{e/dt/1e6:.3f}} M edges/s  "
 
 
 if __name__ == "__main__":
-    measure({}, 9, "powerlaw L=9")
-    measure({}, 5, "powerlaw L=5")
-    measure({}, 9, "uniform  L=9", scene_kind="uniform")
-    measure({}, 5, "uniform  L=5", scene_kind="uniform")
+    kinds = os.environ.get("ANATOMY_KINDS", "powerlaw,uniform").split(",")
+    for kind in kinds:
+        measure({}, 9, f"{kind} L=9", scene_kind=kind)
+        measure({}, 5, f"{kind} L=5", scene_kind=kind)
