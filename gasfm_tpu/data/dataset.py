@@ -104,15 +104,14 @@ class SceneLoader:
     Yields lists of SceneData of length ``batch_size`` (last batch may be
     short), mirroring DataLoader(batch_size, shuffle) semantics.
 
-    RNG streams: with ``num_workers == 0`` every sample draws from the
-    loader's single ``rng`` in iteration order; with ``num_workers > 0``
-    each fork-pool worker derives its own child stream (seeded per worker
-    from ``rng``), so the sequence of random view subsets/augmentations
-    DIFFERS between the two settings (and between worker counts). This
-    mirrors the reference's behavior (per-worker seeded generators,
-    code/datasets/ScenesDataSet.py + general_utils.py:298-303) —
-    distributional, not bitwise, reproducibility across worker configs;
-    bitwise reproducibility holds for a FIXED (seed, num_workers).
+    RNG streams: per-item seeds are drawn from the loader's ``rng`` in
+    iteration order BEFORE dispatch (see :meth:`_batches`), and both the
+    in-process and fork-pool paths derive each sample from
+    ``default_rng(seed)`` — so a given loader seed produces the SAME
+    sampling/augmentation stream for EVERY ``num_workers`` setting,
+    independent of worker scheduling. (Stronger than the reference, whose
+    per-worker generators make the stream depend on the worker count,
+    code/datasets/ScenesDataSet.py + general_utils.py:298-303.)
     """
 
     def __init__(
@@ -206,23 +205,49 @@ class SceneLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Abandonment-safe put: if the consumer breaks out of the `for
+            # batch in loader:` loop with the queue full, a bare q.put would
+            # block this thread forever, leaking it plus `prefetch` batches
+            # of host memory per abandoned epoch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 - propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Normal exhaustion AND early abandonment (GeneratorExit /
+            # exception in the consumer) both land here: release the worker,
+            # drain anything queued, and join.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if err:
             raise err[0]

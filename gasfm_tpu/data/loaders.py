@@ -95,7 +95,13 @@ def create_scene_data(
     if conf.get_bool("dataset.synthetic.enabled", default=False):
         from gasfm_tpu.data.synthetic import synthetic_scene_from_conf
 
-        seed_offset = abs(hash(scene)) % 10_000 if scene else 0
+        # Stable across processes/runs: Python's str hash is salted per
+        # process (PYTHONHASHSEED), which would generate DIFFERENT geometry
+        # for the same named scene on each host of a multi-process run —
+        # silently inconsistent shards on one global mesh.
+        import zlib
+
+        seed_offset = zlib.crc32(scene.encode()) % 10_000 if scene else 0
         base_conf = conf.copy()
         base_conf.put(
             "dataset.synthetic.seed",

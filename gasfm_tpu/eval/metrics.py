@@ -244,7 +244,13 @@ def compute_errors(outputs: Dict[str, Any], conf, bundle_adjustment: bool) -> Di
     xs = outputs["xs"]
     visible = xs_valid_points(xs)
 
-    if depth_head:
+    # Gate on key presence, not depth_head alone: prepare_predictions stores
+    # the dense depths only under calc_reprojerr_with_gtposes_for_depth_pred
+    # (as the reference does, evaluation.py:99-126) — the reference's own
+    # compute_errors gates on depth_head_enabled alone (evaluation.py:241)
+    # and would KeyError for a depth-head config without that flag; here the
+    # depth-stat block is simply skipped instead of crashing the eval pass.
+    if depth_head and "depths_pred_dense" in outputs:
         dp = outputs["depths_pred_dense"] / outputs["s_pred"]
         dg = outputs["depths_gt_dense"] / outputs["s_gt"]
         errors["depth_pred_norm_mean"] = float(dp[visible].mean())
@@ -297,6 +303,11 @@ def compute_errors(outputs: Dict[str, Any], conf, bundle_adjustment: bool) -> Di
         errors["R_err_mean"] = float(np.mean(Rs_error))
         errors["R_err_med"] = float(np.median(Rs_error))
         cc, ccg = outputs["cam_centers"], outputs["cam_centers_gt"]
+        # Parity quirk, reproduced verbatim: the reference subtracts the
+        # SCALAR mean over all 3m coordinates (np.mean with keepdims but no
+        # axis, evaluation.py:324-325), not the per-axis centroid — the
+        # "std" therefore measures spread around (mu, mu, mu). Kept so the
+        # metric columns diff cleanly against reference tables.
         errors["cam_centers_std"] = float(np.mean(np.linalg.norm(cc - np.mean(cc, keepdims=True), axis=1)))
         errors["cam_centers_gt_std"] = float(
             np.mean(np.linalg.norm(ccg - np.mean(ccg, keepdims=True), axis=1))

@@ -69,7 +69,16 @@ def project_to_rot(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 4) wxyz unit quaternions (branch-free, stable).
+    """(..., 3, 3) -> (..., 4) wxyz unit quaternions, w >= 0.
+
+    Largest-component pivot (the pytorch3d/Shepperd scheme, selected
+    branch-free by argmax): the earlier copysign-against-(m21-m12) variant
+    recovered the x/y/z signs from terms proportional to w, which vanish as
+    the rotation angle approaches pi — two nearly identical ~180-degree
+    rotations could then differ in component signs by rounding noise,
+    spiking the GTLoss orientation term. Each pivot row is exact wherever
+    its diagonal combination is largest, so the selected candidate is
+    always well-conditioned.
 
     NOTE: the reference's GTLoss calls a ``geo_utils.rot_to_quat`` that does
     not exist anywhere in the reference tree (dead code); this is a working
@@ -79,18 +88,31 @@ def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
     m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
 
-    def safe_sqrt(x):
-        return jnp.sqrt(jnp.maximum(x, 1e-12))
+    tw = 1.0 + m00 + m11 + m22  # = 4w^2
+    tx = 1.0 + m00 - m11 - m22  # = 4x^2
+    ty = 1.0 - m00 + m11 - m22  # = 4y^2
+    tz = 1.0 - m00 - m11 + m22  # = 4z^2
 
-    qw_abs = safe_sqrt(1.0 + m00 + m11 + m22) / 2.0
-    qx_abs = safe_sqrt(1.0 + m00 - m11 - m22) / 2.0
-    qy_abs = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
-    qz_abs = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
-    # Sign recovery relative to w >= 0.
-    qx = jnp.copysign(qx_abs, m21 - m12)
-    qy = jnp.copysign(qy_abs, m02 - m20)
-    qz = jnp.copysign(qz_abs, m10 - m01)
-    q = jnp.stack([qw_abs, qx, qy, qz], axis=-1)
+    def cand(t, a, b, c, order):
+        s = jnp.sqrt(jnp.maximum(t, 1e-12))
+        comps = {"t": 0.5 * s}
+        inv = 0.5 / s
+        comps[order[1]] = a * inv
+        comps[order[2]] = b * inv
+        comps[order[3]] = c * inv
+        comps[order[0]] = comps.pop("t")
+        return jnp.stack([comps["w"], comps["x"], comps["y"], comps["z"]], axis=-1)
+
+    q_w = cand(tw, m21 - m12, m02 - m20, m10 - m01, "wxyz")
+    q_x = cand(tx, m21 - m12, m01 + m10, m02 + m20, "xwyz")
+    q_y = cand(ty, m02 - m20, m01 + m10, m12 + m21, "ywxz")
+    q_z = cand(tz, m10 - m01, m02 + m20, m12 + m21, "zwxy")
+
+    cands = jnp.stack([q_w, q_x, q_y, q_z], axis=-2)  # (..., 4 cand, 4)
+    best = jnp.argmax(jnp.stack([tw, tx, ty, tz], axis=-1), axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    # Canonical sign: w >= 0 (matches the previous convention; sign(0) -> +).
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 

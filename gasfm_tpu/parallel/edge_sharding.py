@@ -128,6 +128,16 @@ def check_table_shard_contract(
         return
     wb = pt_window[::CHUNK]
     n_chunks = wb.shape[0]
+    if n_chunks < n_edge or n_chunks % n_edge != 0:
+        # The loud, descriptive failure this check exists to provide — a
+        # bare // below would ZeroDivisionError (n_chunks < n_edge) or
+        # misassign chunks to shards (n_chunks not a shard multiple).
+        raise ValueError(
+            f"edge capacity is not shardable: {n_chunks} chunks of {CHUNK} "
+            f"over {n_edge} edge shards (need a positive multiple of "
+            f"{n_edge}; the bucketizer pins edge_multiple = chunk * "
+            f"n_edge_shards — see train/loop.GraphBucketizer)."
+        )
     chunks_per_shard = n_chunks // n_edge
     if edge_mask is not None:
         live = np.asarray(edge_mask).reshape(n_chunks, CHUNK).any(axis=1)
@@ -329,6 +339,12 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
     loss_func = get_loss_func(conf)
     if tx is None:
         tx, _ = build_optimizer(conf)
+    # our_repro needs the explicit heads' outputs (Ps_norm, pts3D); a
+    # depth-head-only config would KeyError at trace time — mirror the
+    # single-chip `device_metrics = explicit and ...` gate (train/loop.py)
+    # by reporting 0 instead.
+    explicit = (conf.get_bool("model.view_head.enabled", default=False)
+                and conf.get_bool("model.scenepoint_head.enabled", default=False))
 
     def per_device(params, opt_state, scene, weight):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
@@ -339,7 +355,8 @@ def make_sharded_fused_step(conf, model, mesh: Mesh, tx=None):
                 return loss_func(pred, scene) * w, pred
 
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            repro = core_errors_device(pred, scene)["our_repro"] * w
+            repro = (core_errors_device(pred, scene)["our_repro"] * w
+                     if explicit else jnp.zeros_like(loss))
         loss = jax.lax.psum(loss, DATA_AXIS)
         repro = jax.lax.psum(repro, DATA_AXIS)
         n_valid = jax.lax.psum(w, DATA_AXIS)
@@ -390,6 +407,10 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
     from gasfm_tpu.eval.metrics import core_errors_device
 
     loss_func = get_loss_func(conf)
+    # Same explicit-heads gate as make_sharded_fused_step: our_repro reads
+    # pred["Ps_norm"]/["pts3D"], absent for depth-head-only configs.
+    explicit = (conf.get_bool("model.view_head.enabled", default=False)
+                and conf.get_bool("model.scenepoint_head.enabled", default=False))
 
     def per_device(params, scene, weight):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
@@ -400,7 +421,8 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
                 return loss_func(pred, scene) * w, pred
 
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            repro = core_errors_device(pred, scene)["our_repro"] * w
+            repro = (core_errors_device(pred, scene)["our_repro"] * w
+                     if explicit else jnp.zeros_like(loss))
             pred = _combine_table_outputs(conf, pred)
         loss = jax.lax.psum(loss, DATA_AXIS)
         repro = jax.lax.psum(repro, DATA_AXIS)

@@ -27,7 +27,14 @@ def measure_merged_kernel_cost(graph, stream_dtype, reps: int = 3,
 
     Uses synthetic operand values (cost is value-independent) at the
     flagship interior-layer shape profile (De = Dp = Dc = 32, 4+4 heads,
-    init-skip + residual present)."""
+    init-skip + residual present).
+
+    Calibration caveat (BENCHLOG section 38): the per-chunk figure is a
+    reliable production proxy at the headline layout (~65 live 2048-chunks
+    — the bench attainable-model use case), but at LOW live-chunk counts
+    on small-chunk graphs its per-launch amortization differs from the
+    production step (measured 15.5 vs 10.0 us/chunk across two chunk-512
+    graphs) — do not treat it as an absolute per-chunk bound there."""
     from gasfm_tpu.graph.view_graph import WINDOW
     from gasfm_tpu.ops.pallas import fused_layer_step as fls
     from gasfm_tpu.ops.pallas.packing import blockdiag, pack_edges, tile_row

@@ -134,6 +134,27 @@ class TestLoaders:
         names = sorted(d.scene_name for b in batches for d in b)
         assert names == sorted(s.scene_name for s in scenes)
 
+    def test_scene_loader_abandoned_iterator_releases_prefetch_thread(self):
+        """Breaking out of a prefetching loader mid-epoch must not leave the
+        prefetch thread blocked on a full queue (one leaked thread plus
+        `prefetch` batches of host memory per abandoned epoch)."""
+        import threading
+        import time
+
+        scenes = [generate_synthetic_scene(n_views=6, n_points=40, seed=s) for s in range(6)]
+        ds = ScenesDataSet(scenes, return_all=True)
+        loader = SceneLoader(ds, batch_size=1, prefetch=1, rng=np.random.default_rng(0))
+        before = threading.active_count()
+        for _ in range(3):
+            for batch in loader:
+                break  # abandon with the queue full
+        deadline = time.monotonic() + 5.0
+        while threading.active_count() > before and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+        # The loader remains fully usable afterwards.
+        assert sum(len(b) for b in loader) == len(scenes)
+
     def test_dataset_view_sampling_bounds(self):
         scenes = [generate_synthetic_scene(n_views=12, n_points=60, seed=9)]
         ds = ScenesDataSet(scenes, return_all=False, min_num_views_sampled=4,

@@ -71,6 +71,30 @@ class TestRotations:
         R_rec = np.asarray(quaternion_to_matrix(jnp.asarray(q, dtype=jnp.float32)))
         np.testing.assert_allclose(R_rec, R, atol=1e-5)
 
+    def test_matrix_to_quaternion_stable_near_pi(self):
+        """Rotations with angle ~pi: the old copysign sign-recovery keyed on
+        4*w*{x,y,z} terms that vanish there, letting rounding noise flip
+        component signs between nearly identical matrices. The pivot scheme
+        must keep the roundtrip exact and nearby inputs -> nearby outputs."""
+        rng = np.random.default_rng(11)
+        axes = rng.normal(size=(32, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for eps in [0.0, 1e-4, 1e-6]:
+            aa = axes * (np.pi - eps)
+            R = axis_angle_to_matrix_np(aa).astype(np.float32)
+            q = np.asarray(matrix_to_quaternion(jnp.asarray(R)))
+            R_rec = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+            np.testing.assert_allclose(R_rec, R, atol=2e-5)
+        # Nearby ~pi rotations map to nearby quaternions (up to the global
+        # w>=0 canonicalization, which is exercised by perturbing the ANGLE
+        # only — the axis, hence (x,y,z) direction, is fixed).
+        aa1 = axes * (np.pi - 1e-4)
+        aa2 = axes * (np.pi - 1.1e-4)
+        q1 = np.asarray(matrix_to_quaternion(jnp.asarray(axis_angle_to_matrix_np(aa1), dtype=jnp.float32)))
+        q2 = np.asarray(matrix_to_quaternion(jnp.asarray(axis_angle_to_matrix_np(aa2), dtype=jnp.float32)))
+        d = np.minimum(np.linalg.norm(q1 - q2, axis=1), np.linalg.norm(q1 + q2, axis=1))
+        assert d.max() < 1e-3
+
     def test_axis_angle_roundtrip_np(self):
         rng = np.random.default_rng(5)
         aa = rng.normal(size=(64, 3))
