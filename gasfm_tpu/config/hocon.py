@@ -81,14 +81,6 @@ class ConfigTree:
 
     # -- typed getters (pyhocon-compatible surface) -----------------------
 
-    def _typed(self, path, default, caster):
-        v = self.get(path, default)
-        if v is None or v is default and not isinstance(v, (int, float, str, bool)):
-            return v
-        if v is None:
-            return None
-        return caster(v)
-
     def get_int(self, path: str, default: Any = _UNSET) -> Optional[int]:
         v = self.get(path, default)
         return None if v is None else int(v)

@@ -45,8 +45,26 @@ def decode_view_outputs(
     """
     if calibrated:
         if cam_mask is not None:
-            # Guard against zero-quaternion/zero-6d padding rows.
-            safe = jnp.zeros_like(x).at[:, 0].set(1.0)
+            # Guard against zero padding rows — the replacement must be
+            # NaN-free through BOTH the forward and the backward of the
+            # rotation decode, per representation:
+            # - quat: unit quaternion e0 (identity rotation).
+            # - 6d: (e0, e1) — a zero a2 would hit b2 = 0/||0|| = NaN in
+            #   rotation_6d_to_matrix (no epsilon, pytorch3d parity).
+            # - svd: diag(1,2,3) — identity-like forward, and DISTINCT
+            #   singular values: repeated ones (rank-1 zeros, or identity's
+            #   1,1,1) make the SVD gradient's 1/(s_i^2 - s_j^2) terms NaN,
+            #   which survives the loss's 0-mask (0 * NaN = NaN).
+            if rot_representation == "6d":
+                safe_rows = [0, 4]
+            elif rot_representation == "svd":
+                safe_rows = [(0, 1.0), (4, 2.0), (8, 3.0)]
+            else:
+                safe_rows = [0]
+            safe = jnp.zeros_like(x)
+            for entry in safe_rows:
+                col, val = entry if isinstance(entry, tuple) else (entry, 1.0)
+                safe = safe.at[:, col].set(val)
             x = jnp.where(cam_mask[:, None], x, safe)
         if rot_representation == "6d":
             RTs = rotation_6d_to_matrix(x[:, :6])

@@ -178,6 +178,11 @@ class TrainingSession:
 
         self._update_fn = jax.jit(_update, donate_argnums=(0, 1))
         self._acc_fn = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+        from gasfm_tpu.train.state import advance_schedule_count
+
+        # Reference parity for batches with NO valid samples: the scheduler
+        # still steps (train.py:152) while the optimizer does not (:133).
+        self._advance_sched_fn = jax.jit(advance_schedule_count, donate_argnums=0)
 
         from gasfm_tpu.eval.metrics import core_errors_device
 
@@ -270,6 +275,10 @@ class TrainingSession:
     def update(self, params, opt_state, grads):
         return self._update_fn(params, opt_state, grads)
 
+    def advance_schedule(self, opt_state):
+        """Step only the LR schedule (all-invalid batch; see state.py)."""
+        return self._advance_sched_fn(opt_state)
+
 
 # ---------------------------------------------------------------------------
 # Epoch train
@@ -291,6 +300,20 @@ def _prepare_batches(train_loader, session, outlier_injection_rate, rng, epoch, 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     errs: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Abandonment-safe put (same pattern as data/dataset.SceneLoader): if
+        # the consumer abandons the generator mid-epoch (e.g. a device OOM
+        # propagating out of the train loop), a bare q.put would leave this
+        # thread blocked forever holding device-resident SceneGraphs.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
@@ -316,20 +339,29 @@ def _prepare_batches(train_loader, session, outlier_injection_rate, rng, epoch, 
                             continue
                         model_data = injected
                     prepared.append((curr_data, session.bucketize(model_data)))
-                q.put(prepared)
+                if not _put(prepared):
+                    return
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             errs.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join()
     if errs:
         raise errs[0]
 
@@ -376,10 +408,11 @@ def epoch_train(
         # one summed loss entry for n samples, so the mean must weight by n.
         loss_totals["sum"] += batch_loss
         loss_totals["n"] += n
+        nb = pnd.get("n_batch", n)  # reference: mean over the FULL batch
         batch_mean_repro = (
-            float(sum(float(x) for x in pnd["repro_parts"])) / n if (explicit and n) else 0.0
+            float(sum(float(x) for x in pnd["repro_parts"])) / nb if (explicit and nb) else 0.0
         )
-        batch_mean_repro_backproj = (sum(pnd["backproj_parts"]) / n) if (calc_backproj and n) else 0.0
+        batch_mean_repro_backproj = (sum(pnd["backproj_parts"]) / nb) if (calc_backproj and nb) else 0.0
         step_idx = pnd["step_idx"]
         curr_scene_name = pnd["scene_name"]
         if tb_writer is not None:
@@ -463,6 +496,7 @@ def epoch_train(
                 "repro_parts": repro_parts,
                 "backproj_parts": backproj_parts,
                 "n": len(fused_group),
+                "n_batch": len(prepared_batch),
                 "step_idx": prev_n_batches + batch_idx,
                 "scene_name": curr_scene_name,
                 "lr": session.lr_at(n_updates),
@@ -500,6 +534,12 @@ def epoch_train(
             # batch loss was exactly 0.0 — unobservable in practice.)
             params, opt_state, grad_norm = session.update(params, opt_state, grads_sum)
             _host_async(grad_norm)
+        else:
+            # All samples invalid: the reference still steps the scheduler
+            # (train.py:152, outside the batch_loss>0 gate) but not the
+            # optimizer — advance the applied schedule to match, or every
+            # later LR lands one step late vs the logged schedule(n_updates).
+            opt_state = session.advance_schedule(opt_state)
 
         if pending is not None:
             _flush(pending)
@@ -508,6 +548,11 @@ def epoch_train(
             "repro_parts": repro_parts,
             "backproj_parts": backproj_parts,
             "n": len(loss_parts),
+            # Metric denominator parity: the reference divides the batch
+            # repro/backproj means by len(train_batch) INCLUDING invalid
+            # samples (train.py:97-99); loss bookkeeping stays per-VALID-
+            # sample ("n"), matching its train_losses mean.
+            "n_batch": len(prepared_batch),
             "step_idx": prev_n_batches + batch_idx,
             "scene_name": curr_scene_name,
             "lr": session.lr_at(n_updates),
@@ -841,6 +886,7 @@ def train(
                     except KeyError:
                         pass
             if outlier_injection_rate is not None:
+                # Extra outlier-FREE validation (reference train.py:497-501).
                 validation_errors = epoch_evaluation(
                     val_loader, session, params, conf, epoch, Phases.VALIDATION,
                     outlier_injection_rate=None, dump_and_plot_predictions=dump_and_plot,
@@ -852,19 +898,45 @@ def train(
                 tb_log_eval_step(conf, tb_writer, epoch, validation_errors, phase=Phases.VALIDATION,
                                  additional_identifiers=additional_identifiers,
                                  include_post_ba_metrics=ba_during_training)
+                if tb_log_val_per_scene:
+                    for sc in conf.get_list("dataset.validation_set", default=[]):
+                        try:
+                            tb_log_eval_step(conf, tb_writer, epoch, validation_errors,
+                                             phase=Phases.VALIDATION,
+                                             additional_identifiers=additional_identifiers,
+                                             scene=sc, include_post_ba_metrics=ba_during_training)
+                        except KeyError:
+                            pass
             if conf.get_bool("eval.eval_on_train_set", default=False):
-                train_errors = epoch_evaluation(
-                    train_loader_for_eval, session, params, conf, epoch, Phases.TRAINING,
-                    outlier_injection_rate=outlier_injection_rate,
-                    dump_and_plot_predictions=dump_and_plot,
-                    additional_identifiers=additional_identifiers + outlier_ids,
-                    bundle_adjustment=ba_during_training,
-                    log_memory_consumption=stdout_log_eval_memory,
-                    crash_on_scene_exhausting_memory=True, rng=rng,
-                )
-                tb_log_eval_step(conf, tb_writer, epoch, train_errors, phase=Phases.TRAINING,
-                                 additional_identifiers=additional_identifiers + outlier_ids,
-                                 include_post_ba_metrics=ba_during_training)
+                # Train-set evaluation + per-scene rows + (with outlier
+                # injection) an extra outlier-free pass — the full reference
+                # block (train.py:503-516).
+                def _train_eval(oir, ids):
+                    te = epoch_evaluation(
+                        train_loader_for_eval, session, params, conf, epoch, Phases.TRAINING,
+                        outlier_injection_rate=oir,
+                        dump_and_plot_predictions=dump_and_plot,
+                        additional_identifiers=ids,
+                        bundle_adjustment=ba_during_training,
+                        log_memory_consumption=stdout_log_eval_memory,
+                        crash_on_scene_exhausting_memory=True, rng=rng,
+                    )
+                    tb_log_eval_step(conf, tb_writer, epoch, te, phase=Phases.TRAINING,
+                                     additional_identifiers=ids,
+                                     include_post_ba_metrics=ba_during_training)
+                    if tb_log_train_per_scene:
+                        for sc in conf.get_list("dataset.train_set", default=[]):
+                            try:
+                                tb_log_eval_step(conf, tb_writer, epoch, te,
+                                                 phase=Phases.TRAINING,
+                                                 additional_identifiers=ids, scene=sc,
+                                                 include_post_ba_metrics=ba_during_training)
+                            except KeyError:
+                                pass
+
+                _train_eval(outlier_injection_rate, additional_identifiers + outlier_ids)
+                if outlier_injection_rate is not None:
+                    _train_eval(None, additional_identifiers)
             nonlocal_result["validation_errors"] = validation_errors
         else:
             scene = conf.get_string("dataset.scene")

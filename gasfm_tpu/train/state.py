@@ -115,6 +115,30 @@ def _with_f32_master(inner: "optax.GradientTransformation"):
     return optax.GradientTransformation(init, update)
 
 
+def advance_schedule_count(opt_state):
+    """Advance ONLY the LR-schedule step of an optimizer state.
+
+    The reference steps its scheduler on EVERY batch — including batches
+    with no valid samples, where ``optimizer.step()`` is skipped
+    (train.py:152 vs :133-151) — while optax ties the schedule to the
+    update count. Without this, every skipped batch shifts all later
+    applied LRs one step late relative to the reference AND to the logged
+    ``schedule(n_updates)`` values. Adam's own count (bias correction)
+    intentionally stays at the number of real updates, matching
+    torch.optim.Adam's ``step`` counter.
+    """
+    import optax
+
+    def bump(leaf):
+        return optax.ScaleByScheduleState(count=optax.safe_increment(leaf.count))
+
+    return jax.tree_util.tree_map(
+        lambda x: bump(x) if isinstance(x, optax.ScaleByScheduleState) else x,
+        opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+    )
+
+
 def apply_param_updates(params, updates, opt_state):
     """``optax.apply_updates`` that understands the f32-master wrapper: with
     a :class:`MasterWeightState` the ``updates`` ARE the new bf16 params

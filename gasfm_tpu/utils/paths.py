@@ -49,14 +49,6 @@ def path_to_models_dir(conf, phase, scene=None, additional_identifiers=None) -> 
     return join_and_create(parent, "models")
 
 
-def _epoch_name(prefix: str, epoch, ext: str) -> str:
-    if epoch is None:
-        return f"best_{prefix}{ext}"
-    if epoch == -1:
-        return f"final_{prefix}{ext}"
-    return f"{prefix}_epoch{epoch + 1:06d}{ext}"
-
-
 def path_to_predictions(conf, phase, epoch=None, scene=None, additional_identifiers=None) -> str:
     scene_path = path_to_scene(conf, phase, scene=scene, additional_identifiers=additional_identifiers)
     pred_path = join_and_create(scene_path, "predictions")

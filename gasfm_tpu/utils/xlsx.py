@@ -56,6 +56,11 @@ def _cell(row: int, col: int, value) -> str:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and (value == float("inf") or value == float("-inf")):
+        # OOXML numeric cells cannot hold infinities ('<v>inf</v>' corrupts
+        # the file for Excel/openpyxl); Excel itself has no inf — write the
+        # IEEE name as an inline string, like pandas' to_excel does.
+        return f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     text = escape(str(value))

@@ -207,3 +207,31 @@ class TestRematLayers:
             a, b = np.asarray(a), np.asarray(b)
             scale = max(1e-4, np.abs(a).max())
             np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
+
+
+class TestPaddedRowDecodeFinite:
+    """Padded camera rows (cam_mask False, zero head outputs) must decode
+    NaN-free through BOTH forward and backward for every rotation
+    representation: 6d's zero a2 hits b2 = 0/||0||; svd's repeated singular
+    values make the SVD gradient's 1/(s_i^2-s_j^2) terms NaN — and 0-masking
+    the loss does NOT save the gradients (0 * NaN = NaN)."""
+
+    def test_decode_view_outputs_finite_with_padding(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gasfm_tpu.models.heads import decode_view_outputs, view_head_out_channels
+
+        mask = jnp.array([True] * 5 + [False] * 3)
+        for rep in ["quat", "6d", "svd"]:
+            C = view_head_out_channels(True, rep)
+
+            def f(x, rep=rep):
+                Ps = decode_view_outputs(x, True, rep, cam_mask=mask)
+                return jnp.sum(jnp.where(mask[:, None, None], Ps, 0.0) ** 2)
+
+            x = jax.random.normal(jax.random.PRNGKey(0), (8, C))
+            x = jnp.where(mask[:, None], x, 0.0)  # padded rows come out zero
+            v, g = jax.value_and_grad(f)(x)
+            assert bool(jnp.isfinite(v)), rep
+            assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grads for {rep}"

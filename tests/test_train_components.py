@@ -178,6 +178,86 @@ class TestTrainLoopResume:
         obs.reset_tb_writer()
 
 
+class TestScheduleAdvanceOnSkippedBatch:
+    def test_advance_schedule_count_matches_reference_semantics(self):
+        """The reference steps its scheduler on EVERY batch but the optimizer
+        only on batches with valid samples (train.py:152 vs :133);
+        advance_schedule_count reproduces that split: after one skipped
+        batch, the first real update applies schedule(1), while Adam's bias
+        correction stays at its first step."""
+        import optax
+
+        from gasfm_tpu.config import ConfigFactory
+        from gasfm_tpu.train.state import advance_schedule_count, build_optimizer
+
+        conf = ConfigFactory.parse_string("""
+train { lr = 0.001,
+  lr_schedule { main_scheduler = multistep, lr_warmup_n_steps = 0,
+                multistep_milestones = [1, 4], multistep_gamma = 0.1 } }
+""")
+        for nu_dtype in [None, "bf16"]:
+            if nu_dtype:
+                conf.put("train.adam_nu_dtype", nu_dtype)
+            tx, sched = build_optimizer(conf)
+            p = {"w": jnp.ones((3,))}
+            o = tx.init(p)
+            o = advance_schedule_count(o)  # the skipped batch
+            u, o = tx.update({"w": jnp.full((3,), 0.1)}, o, p)
+            # First real update: Adam's debiased direction is sign(g)=1, so
+            # the applied magnitude is (within eps) the LR at schedule step 1.
+            np.testing.assert_allclose(float(-u["w"][0]), float(sched(1)), rtol=1e-4)
+
+    def test_epoch_train_invalid_batch_advances_schedule_only(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        import os
+
+        import optax
+
+        from gasfm_tpu.config import load_config
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.loop import TrainingSession, epoch_train
+        from gasfm_tpu.utils.phases import Phases
+
+        conf = load_config(os.path.join("synth", "learning_synth_gasfm.conf"))
+        conf.put("exp_dir", "sched_adv_test")
+        # A scene that fails is_valid_sample: zero out view 0's observations
+        # so it sees < 8 points (MIN_N_POINTS_PER_VIEW).
+        from gasfm_tpu.data.scene import SceneData
+
+        src = generate_synthetic_scene(n_views=8, n_points=64, seed=0)
+        M = np.array(src.M)
+        M[0:2, 4:] = 0.0
+        bad = SceneData(M, src.Ns, src.y, scene_name="bad", calibrated=True)
+        assert not bad.is_valid_sample()
+        model = get_model(conf)
+        session = TrainingSession(conf, model)
+        good = generate_synthetic_scene(n_views=8, n_points=64, seed=1)
+        graph = session.bucketize(good).graph
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), graph)
+        opt_state = session.tx.init(params)
+
+        loader = SceneLoader(ScenesDataSet([bad], return_all=True), batch_size=1, prefetch=0)
+        params2, opt_state2, n_updates, mean_loss, _, n_batches = epoch_train(
+            conf, session, loader, params, opt_state, 0, 0, Phases.TRAINING,
+            tb_writer=None,
+        )
+        assert n_batches == 1
+        # Params untouched, but every LR-schedule count stepped once.
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        counts = [
+            int(s.count)
+            for s in jax.tree_util.tree_leaves(
+                opt_state2, is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState)
+            )
+            if isinstance(s, optax.ScaleByScheduleState)
+        ]
+        assert counts and all(c == 1 for c in counts)
+
+
 class TestProfilerWindow:
     def test_profile_window_writes_trace(self, tmp_path, monkeypatch):
         """observability.profile_start_epoch captures a jax.profiler trace of

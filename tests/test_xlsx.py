@@ -67,3 +67,19 @@ def test_write_results_emits_both(tmp_path, monkeypatch):
     assert rows[1]["B2"] == 1.0
     back = pd.read_csv(os.path.join(exp, "Res.csv")).set_index("Scene")
     assert list(back["v"]) == [1.0, 2.0]
+
+
+def test_write_xlsx_infinities_as_inline_strings(tmp_path):
+    """float('inf') must not land in a numeric <v> cell ('<v>inf</v>' is
+    invalid OOXML — Excel/openpyxl report the file corrupt); it is written
+    as an inline string like pandas' to_excel does."""
+    df = pd.DataFrame(
+        {"metric": [np.inf, -np.inf, 2.0]},
+        index=pd.Index(["a", "b", "c"], name="Scene"),
+    )
+    path = str(tmp_path / "inf.xlsx")
+    write_xlsx(path, df)
+    rows = _sheet_rows(path)
+    assert rows[1]["B2"] == "inf"
+    assert rows[2]["B3"] == "-inf"
+    assert rows[3]["B4"] == 2.0
