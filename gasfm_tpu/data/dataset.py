@@ -30,6 +30,66 @@ def dataloader_collate_fn(samples: List[SceneData]) -> List[SceneData]:
     return samples
 
 
+def prefetch_iter(make_source, depth: int) -> Iterator:
+    """Yield items of ``make_source()`` produced on one background thread
+    through a bounded queue of ``depth``.
+
+    Abandonment-safe: if the consumer breaks out of the loop (or an
+    exception propagates through it, e.g. a device OOM mid-epoch) with the
+    queue full, a bare ``q.put`` would block the producer thread forever,
+    leaking it plus ``depth`` queued items (which may hold device-resident
+    arrays). The stop-Event-gated put plus the finally-drain-join below
+    releases it in every exit path. Producer exceptions re-raise in the
+    consumer after the join. Shared by SceneLoader.__iter__ and
+    train/loop._prepare_batches — keep the shutdown logic in this one place.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errs: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in make_source():
+                if not _put(item):
+                    return
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            errs.append(e)
+        finally:
+            _put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        # Normal exhaustion AND early abandonment (GeneratorExit / exception
+        # in the consumer) both land here: release the worker, drain
+        # anything queued, and join.
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 class ScenesDataSet:
     """Parity: reference ScenesDataSet (ScenesDataSet.py:12-51)."""
 
@@ -202,52 +262,4 @@ class SceneLoader:
         if self.prefetch <= 0:
             yield from self._batches()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        err: List[BaseException] = []
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            # Abandonment-safe put: if the consumer breaks out of the `for
-            # batch in loader:` loop with the queue full, a bare q.put would
-            # block this thread forever, leaking it plus `prefetch` batches
-            # of host memory per abandoned epoch.
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def worker():
-            try:
-                for batch in self._batches():
-                    if not _put(batch):
-                        return
-            except BaseException as e:  # noqa: BLE001 - propagate to consumer
-                err.append(e)
-            finally:
-                _put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                yield item
-        finally:
-            # Normal exhaustion AND early abandonment (GeneratorExit /
-            # exception in the consumer) both land here: release the worker,
-            # drain anything queued, and join.
-            stop.set()
-            while True:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            t.join()
-        if err:
-            raise err[0]
+        yield from prefetch_iter(self._batches, self.prefetch)

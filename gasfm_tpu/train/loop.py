@@ -79,6 +79,24 @@ class GraphBucketizer:
         # each scene's chunk comes from view_graph.choose_chunk (mean window
         # run; GASFM_CHUNK in the environment still wins inside it).
         self.pinned_chunk = conf.get_int("compile.chunk", default=None)
+        # Auto-chunk 2048 is only validated on the PACKED merged-kernel path
+        # (the unpacked fused frontend sub-chunks at 1024; the unpacked dual-
+        # attention backward builds monolithic chunk-sized blocks whose
+        # scoped-VMEM footprint measured 17.7 MB > the 16 MB limit at 2048 —
+        # BENCHLOG section 32 item 4). Confs that cannot take the packed
+        # path (models/gasfm.py use_packed gate, conf-level part) cap the
+        # AUTO choice at 1024; explicit GASFM_CHUNK / compile.chunk pins
+        # stay untouched (perf-experiment escape hatches).
+        from gasfm_tpu.ops.pallas.packing import packable
+
+        mtype = conf.get_string("model.type", default="")
+        self._auto_chunk_cap = 2048
+        if "GraphAttnSfMNet" in mtype and not (
+            packable(conf.get_int("model.n_feat_proj", default=0), 2048)
+            and conf.get_bool("model.use_norm_proj_update", default=False)
+            and conf.get_int("model.n_hidden_layers_proj_update", default=0) == 0
+        ):
+            self._auto_chunk_cap = 1024
         self.table_sharding = conf.get_bool("parallel.table_sharding", default=None)
         if self.table_sharding is None:
             # Default ON for multi-shard meshes: measured better than the
@@ -102,7 +120,14 @@ class GraphBucketizer:
         # data.valid_pts is computed once at SceneData construction — no
         # second O(m*n) M scan here; build_view_graph does its own pass.
         valid = data.valid_pts
-        return choose_chunk(int(valid.sum()), int(valid.any(axis=0).sum()))
+        chunk = choose_chunk(int(valid.sum()), int(valid.any(axis=0).sum()))
+        # Conf-level cap (see __init__), plus the two trace-time packed
+        # gates knowable here: scenes with > 1024 cameras and the
+        # GASFM_PACKED=0 A/B kill-switch both force the unpacked path
+        # (models/gasfm.py use_packed), which is not 2048-safe.
+        if valid.shape[0] > 1024 or os.environ.get("GASFM_PACKED", "1") == "0":
+            chunk = min(chunk, 1024)
+        return min(chunk, self._auto_chunk_cap)
 
     def __call__(self, data: SceneData):
         chunk = self.chunk_for(data)
@@ -293,77 +318,39 @@ def _prepare_batches(train_loader, session, outlier_injection_rate, rng, epoch, 
     is already prefetched by SceneLoader, and this stage overlaps the
     remaining per-sample preprocessing. Yields lists of
     (scene_data, scene_graph-or-None) in the loader's order — RNG draws stay
-    sequential in one thread, so determinism per seed is preserved."""
-    import queue
-    import threading
+    sequential in one thread, so determinism per seed is preserved.
 
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
-    errs: List[BaseException] = []
-    stop = threading.Event()
+    Abandonment safety (a device OOM propagating out of the train loop must
+    not leak a thread holding device-resident SceneGraphs) lives in the one
+    shared pump, data/dataset.prefetch_iter."""
+    from gasfm_tpu.data.dataset import prefetch_iter
 
-    def _put(item) -> bool:
-        # Abandonment-safe put (same pattern as data/dataset.SceneLoader): if
-        # the consumer abandons the generator mid-epoch (e.g. a device OOM
-        # propagating out of the train loop), a bare q.put would leave this
-        # thread blocked forever holding device-resident SceneGraphs.
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def worker():
-        try:
-            for train_batch in train_loader:
-                prepared = []
-                for curr_data in train_batch:
-                    if not curr_data.is_valid_sample():
+    def _source():
+        for train_batch in train_loader:
+            prepared = []
+            for curr_data in train_batch:
+                if not curr_data.is_valid_sample():
+                    print(
+                        f"{epoch} {curr_data.scene_name} has a camera with not enough "
+                        "points or a point with not enough cameras"
+                    )
+                    prepared.append((curr_data, None))
+                    continue
+                model_data = curr_data
+                if outlier_injection_rate is not None:
+                    injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
+                    if injected is None:
                         print(
-                            f"{epoch} {curr_data.scene_name} has a camera with not enough "
-                            "points or a point with not enough cameras"
+                            f"Failed outlier sampling for {curr_data.scene_name} - "
+                            "skipping training sample."
                         )
                         prepared.append((curr_data, None))
                         continue
-                    model_data = curr_data
-                    if outlier_injection_rate is not None:
-                        injected = inject_outliers(curr_data, outlier_injection_rate, rng=rng)
-                        if injected is None:
-                            print(
-                                f"Failed outlier sampling for {curr_data.scene_name} - "
-                                "skipping training sample."
-                            )
-                            prepared.append((curr_data, None))
-                            continue
-                        model_data = injected
-                    prepared.append((curr_data, session.bucketize(model_data)))
-                if not _put(prepared):
-                    return
-        except BaseException as e:  # noqa: BLE001 - propagate to consumer
-            errs.append(e)
-        finally:
-            _put(sentinel)
+                    model_data = injected
+                prepared.append((curr_data, session.bucketize(model_data)))
+            yield prepared
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-    finally:
-        stop.set()
-        while True:
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
-        t.join()
-    if errs:
-        raise errs[0]
+    yield from prefetch_iter(_source, depth)
 
 
 def epoch_train(
@@ -683,12 +670,25 @@ def epoch_evaluation(
             # shrinks with the chunk.
             chunk = min(sg.graph.chunk for _, _, sg in group)
             padded = []
+            buck = session.bucketize
             for curr_data, model_data, sg in group:
                 g = sg.graph
                 if (g.num_cams, g.num_pts, g.num_edges) != caps or g.chunk != chunk:
                     # Bucketed caps are multiples of the bucketizer grid,
                     # so the group max keeps every alignment contract.
                     sg = model_data.to_scene_graph(caps=caps, chunk=chunk)
+                    if buck.table_sharding and buck.n_edge_shards > 1:
+                        # The span<=2 contract was checked at the graph's OWN
+                        # caps/chunk in GraphBucketizer.__call__; the re-pad
+                        # shifts shard boundaries and the chunk grid, so the
+                        # boundary exchange's loud contract check must re-run
+                        # or a violation silently corrupts point aggregates.
+                        from gasfm_tpu.parallel import check_table_shard_contract
+
+                        check_table_shard_contract(
+                            sg.graph.pt_window, buck.n_edge_shards,
+                            sg.graph.edge_mask, chunk=sg.graph.chunk,
+                        )
                 padded.append((curr_data, sg))
             try:
                 begin = time()

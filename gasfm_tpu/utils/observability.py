@@ -54,7 +54,10 @@ class ProfilerWindow:
 
     def __init__(self, conf):
         self.start = conf.get_int("observability.profile_start_epoch", default=None)
-        self.n_epochs = conf.get_int("observability.profile_n_epochs", default=1)
+        # `or 1`: ref.conf ships the key as an explicit null (the repo's
+        # "unset" idiom), which get_int returns as None in preference to the
+        # default — maybe_stop would then TypeError on start + None.
+        self.n_epochs = conf.get_int("observability.profile_n_epochs", default=1) or 1
         self.logdir = (
             os.path.join(paths.path_to_tb_events(conf), "profile")
             if self.start is not None

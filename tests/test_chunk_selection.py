@@ -77,6 +77,44 @@ class TestBucketizerChunk:
             wb = np.asarray(g.pt_window).reshape(-1, g.chunk)
             assert (wb == wb[:, :1]).all(), "chunk spans one point window"
 
+    def test_auto_2048_capped_for_unpacked_confs(self, monkeypatch):
+        """Auto-chunk 2048 is only validated on the PACKED merged-kernel
+        path: the unpacked dual-attention backward builds monolithic
+        chunk-sized blocks that exceed the 16 MB scoped-VMEM limit at 2048
+        (BENCHLOG section 32 item 4). A GASFM conf that cannot take the
+        packed path (models/gasfm.py use_packed gate) must cap the AUTO
+        choice at 1024; packed-eligible confs and explicit pins are
+        untouched."""
+        monkeypatch.delenv("GASFM_CHUNK", raising=False)
+        dense = generate_synthetic_scene(n_views=48, n_points=512,
+                                         visibility=0.5, seed=0)  # run ~3072
+        gasfm_keys = {
+            "model.type": "graph_attn_sfm.GraphAttnSfMNet",
+            "model.n_feat_proj": 32,
+            "model.use_norm_proj_update": True,
+            "model.n_hidden_layers_proj_update": 0,
+        }
+        assert _bucketizer(**gasfm_keys).chunk_for(dense) == 2048
+        for bad in (
+            {"model.use_norm_proj_update": False},
+            {"model.n_hidden_layers_proj_update": 1},
+            {"model.n_feat_proj": 64},  # not packable
+        ):
+            b = _bucketizer(**{**gasfm_keys, **bad})
+            assert b.chunk_for(dense) == 1024, bad
+        # DPESFM (no dual-attention kernels) keeps the unclamped choice.
+        b = _bucketizer(**{"model.type": "set_of_set.SetOfSetNet"})
+        assert b.chunk_for(dense) == 2048
+        # Data-dependent gate: > 1024 cameras forces the unpacked path at
+        # trace time regardless of conf, so the auto choice caps too.
+        import types
+
+        big = types.SimpleNamespace(valid_pts=np.ones((1032, 64), dtype=bool))
+        assert _bucketizer(**gasfm_keys).chunk_for(big) == 1024
+        # The GASFM_PACKED=0 A/B kill-switch forces the unpacked path too.
+        monkeypatch.setenv("GASFM_PACKED", "0")
+        assert _bucketizer(**gasfm_keys).chunk_for(dense) == 1024
+
     def test_pinned_chunk_conf(self, monkeypatch):
         monkeypatch.delenv("GASFM_CHUNK", raising=False)
         b = _bucketizer(**{"compile.chunk": 512})

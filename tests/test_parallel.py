@@ -575,6 +575,62 @@ class TestGroupedMeshEval:
                 rtol=2e-3, atol=1e-4, err_msg=col,
             )
 
+    def test_grouped_eval_mixed_capacities_table_sharded(self):
+        """Mixed-capacity grouped eval with the round-5 DEFAULT
+        table-sharded combine (on for n_edge > 1): the _flush re-pad
+        rebuilds minority scenes at group caps / group-min chunk, which
+        shifts shard boundaries — the span<=2 contract check must re-run on
+        the REBUILT graphs (review round 5) and the sharded metrics must
+        still track single-device evaluation."""
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.synthetic import generate_synthetic_scene
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.train.loop import TrainingSession, epoch_evaluation
+        from gasfm_tpu.utils.phases import Phases
+
+        scenes_data = [
+            generate_synthetic_scene(n_views=6, n_points=48, seed=0, scene_name="small"),
+            generate_synthetic_scene(n_views=10, n_points=300, seed=1, scene_name="large"),
+            generate_synthetic_scene(n_views=8, n_points=120, seed=2, scene_name="mid"),
+        ]
+        conf_single = ConfigFactory.parse_string(CONF)
+        # table_sharding unset -> defaults ON at n_edge = 2.
+        conf_mesh = ConfigFactory.parse_string(CONF + "\nparallel { mesh_shape = [2, 2] }\n")
+
+        model = get_model(conf_single)
+        session_s = TrainingSession(conf_single, model)
+        graph0 = session_s.bucketize(scenes_data[0]).graph
+        params = model.init(jax.random.PRNGKey(3), graph0)
+        caps = {session_s.bucketize(d).graph.num_edges for d in scenes_data}
+        assert len(caps) >= 2, "scene sizes must land in different buckets"
+
+        def run(conf, session):
+            loader = SceneLoader(ScenesDataSet(scenes_data, return_all=True),
+                                 batch_size=2, prefetch=0)
+            return epoch_evaluation(
+                loader, session, params, conf, -1, Phases.OPTIMIZATION,
+                bundle_adjustment=False, crash_on_scene_exhausting_memory=True,
+            )
+
+        df_single = run(conf_single, session_s)
+        session_m = TrainingSession(conf_mesh, get_model(conf_mesh))
+        assert session_m.bucketize.table_sharding
+        seg.set_kernel_mode("interpret")
+        try:
+            df_mesh = run(conf_mesh, session_m)
+        finally:
+            seg.set_kernel_mode("auto")
+
+        assert list(df_single.index) == list(df_mesh.index)
+        # The boundary exchange reorders point-side sums, so this is a
+        # tolerance check, not exactness (exactness: TestTableSharding).
+        for col in ("our_repro", "t_err_mean", "R_err_mean"):
+            np.testing.assert_allclose(
+                df_mesh[col].to_numpy(dtype=float),
+                df_single[col].to_numpy(dtype=float),
+                rtol=5e-3, atol=1e-3, err_msg=col,
+            )
+
 
 class TestPackedMergedUnderSharding:
     """The PACKED + MERGED kernel path (packing.py / fused_layer_step.py)

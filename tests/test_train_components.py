@@ -259,6 +259,31 @@ train { lr = 0.001,
 
 
 class TestProfilerWindow:
+    def test_null_profile_n_epochs(self, tmp_path, monkeypatch):
+        """ref.conf ships `observability.profile_n_epochs = null` (the
+        repo's "unset" idiom); get_int returns that stored None in
+        preference to the default, which used to TypeError inside
+        maybe_stop (`start + None`) mid-run. Null must behave as the
+        1-epoch default."""
+        from gasfm_tpu.config import ConfigFactory
+        from gasfm_tpu.utils.observability import ProfilerWindow
+
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        conf = ConfigFactory.parse_string(
+            'exp_dir = "profile_null_test"\n'
+            "observability { profile_start_epoch = 2, profile_n_epochs = null }"
+        )
+        w = ProfilerWindow(conf)
+        assert w.n_epochs == 1
+        # Exercise maybe_stop's window-end comparison (the old crash site)
+        # without starting a real trace: epoch 0 is before the window end,
+        # so close() is not reached.
+        w._active = True
+        try:
+            w.maybe_stop(0)
+        finally:
+            w._active = False
+
     def test_profile_window_writes_trace(self, tmp_path, monkeypatch):
         """observability.profile_start_epoch captures a jax.profiler trace of
         the configured epoch window into <tb_events>/profile (SURVEY section 5:
