@@ -32,8 +32,6 @@ Conventions (the *blocked point-major* edge layout):
   blocks are masked to the reduction's neutral value).
 - Per-camera segment ids are NOT sorted in this layout; camera-side
   reductions use the dense one-hot kernels (few hundred cameras at most).
-- ``pt_order`` holds a permutation sorting edges by point id (it is nearly
-  the identity in this layout, differing only across padding runs).
 - ``uv`` holds the *normalized* (N-matrix-applied) 2D observations, i.e. the
   values of the reference's ``data.x`` SparseMat
   (reference: code/utils/dataset_utils.py:116-156 ``M2sparse(normalize=True)``).
@@ -158,7 +156,6 @@ class ViewGraph:
     cam_idx: jnp.ndarray  # (E,) int32 in [0, M); padded edges hold M
     pt_idx: jnp.ndarray  # (E,) int32 in [0, N); padded edges hold N
     edge_mask: jnp.ndarray  # (E,) bool
-    pt_order: jnp.ndarray  # (E,) int32 permutation sorting edges by pt_idx
     pt_window: jnp.ndarray  # (E,) int32 point-block index per edge
     pt_block_visited: jnp.ndarray  # (ceil(N/WINDOW),) bool
 
@@ -328,8 +325,6 @@ def build_view_graph(
         src += cnt
         dst += pad_cnt
 
-    pt_order = np.argsort(pt_idx, kind="stable").astype(np.int32)
-
     cam_mask = np.zeros((m_cap,), dtype=bool)
     cam_mask[:m] = True
     pt_mask = np.zeros((n_cap,), dtype=bool)
@@ -347,7 +342,6 @@ def build_view_graph(
         cam_idx=jnp.asarray(cam_idx),
         pt_idx=jnp.asarray(pt_idx),
         edge_mask=jnp.asarray(edge_mask),
-        pt_order=jnp.asarray(pt_order),
         pt_window=jnp.asarray(pt_window),
         pt_block_visited=jnp.asarray(pt_block_visited),
         cam_mask=jnp.asarray(cam_mask),

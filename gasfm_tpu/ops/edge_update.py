@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from gasfm_tpu.graph.view_graph import ViewGraph, WINDOW
 from gasfm_tpu.ops.segment import _kernel_interpret, _kernels_enabled, gather_segments
 
-_DENSE_MAX_SEGMENTS = 1024
+from gasfm_tpu.ops.segment import _DENSE_MAX_SEGMENTS  # one authoritative cutoff
 
 
 def edge_combine(

@@ -37,7 +37,7 @@ from gasfm_tpu.ops.segment import (
     segment_sum,
 )
 
-_DENSE_MAX_SEGMENTS = 1024
+from gasfm_tpu.ops.segment import _DENSE_MAX_SEGMENTS  # one authoritative cutoff
 
 
 def _round_up(a: int, b: int) -> int:
@@ -141,7 +141,7 @@ def gatv2_attend(
     # softmax (num, m, den) triples combine with pmax/psum over the edge
     # mesh axis (fused_attn.combine_attention_shards) — the distributed
     # segment-softmax exchange of SURVEY section 5, riding ICI.
-    from gasfm_tpu.ops.segment import current_edge_axis
+    from gasfm_tpu.ops.segment import current_edge_axis, is_table_sharded
 
     if (
         _kernels_enabled()
@@ -152,6 +152,13 @@ def gatv2_attend(
         from gasfm_tpu.graph.view_graph import WINDOW
         from gasfm_tpu.ops.pallas.fused_attn import fused_attend_h
         from gasfm_tpu.ops.pallas.segment_kernels import _edge_tile
+
+        # Table-sharded boundary exchange applies ONLY to the windowed
+        # direction: a point window is owned by at most 2 neighboring
+        # shards (span<=2 contract). The dense direction's single
+        # whole-table window is touched by EVERY shard, so it must keep
+        # the full combine_attention_shards psum/pmax.
+        ts = window is not None and is_table_sharded()
 
         if window is not None:
             W = WINDOW
@@ -170,7 +177,7 @@ def gatv2_attend(
         out2 = fused_attend_h(
             H, xl2, xr2, att.reshape(1, H * C), ids[:, None], wb,
             num_segments, W, negative_slope, _kernel_interpret(),
-            edge_axis=current_edge_axis(),
+            edge_axis=current_edge_axis(), table_sharded=ts,
         )
         if window is not None and window.row_ok is not None:
             out2 = jnp.where(window.row_ok[:, None], out2, 0.0)
@@ -231,6 +238,8 @@ def gatv2_attend_dual(
     grid/DMA overhead) twice. Fallback: two composite :func:`gatv2_attend`
     calls with identical semantics.
     """
+    import os as _os
+
     from gasfm_tpu.ops.segment import current_edge_axis
 
     E = xl_p.shape[0]
@@ -244,6 +253,10 @@ def gatv2_attend_dual(
         and xl_c.dtype == jnp.float32
         and E % window.block.shape[0] == 0
         and num_cams <= _DENSE_MAX_SEGMENTS
+        # A/B kill-switch (convention: GASFM_MERGED / GASFM_PACKED): forces
+        # the two-single-calls fallback, e.g. to exercise the single-
+        # direction fused path under sharding in tests.
+        and _os.environ.get("GASFM_DUAL", "1") != "0"
     ):
         from gasfm_tpu.graph.view_graph import WINDOW
         from gasfm_tpu.ops.pallas.fused_dual_attn import fused_dual_attend

@@ -622,10 +622,16 @@ _ATTEND_CACHE = {}
 
 
 def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
-                   W, slope=0.2, interpret=False, edge_axis=None):
-    """Fused segment attention specialized per (head count, matmul precision).
-    Matmul precision is read from ops.segment.get_kernel_precision() at trace
-    time.
+                   W, slope=0.2, interpret=False, edge_axis=None,
+                   table_sharded=False):
+    """Fused segment attention specialized per (head count, matmul precision,
+    table-sharded combine). Matmul precision is read from
+    ops.segment.get_kernel_precision() at trace time.
+
+    ``table_sharded``: use the O(W*(D+2H)) neighbor boundary exchange for
+    the cross-shard softmax combine instead of the full-table psum/pmax.
+    ONLY valid for the windowed direction (span<=2 contract) — the caller
+    (gatv2_attend) gates it on ``window is not None``.
 
     xl2: (E, H*C) source-transformed edge features, head-major flat layout.
     xr2: (S, H*C) per-segment query features (S == num_segments).
@@ -639,7 +645,7 @@ def fused_attend_h(num_heads: int, xl2, xr2, att_row, ids2d, wb, num_segments,
     """
     from gasfm_tpu.ops.segment import get_kernel_precision
 
-    key = (num_heads, get_kernel_precision())
+    key = (num_heads, get_kernel_precision(), bool(table_sharded))
     fn = _ATTEND_CACHE.get(key)
     if fn is None:
         fn = make_fused_attend(*key)

@@ -192,8 +192,6 @@ def edge_replicated():
         _EDGE_AXIS.reset(token)
 
 
-from functools import partial as _partial
-
 # ---------------------------------------------------------------------------
 # Gradient transposes of the edge-shard collectives
 #
@@ -231,7 +229,7 @@ from functools import partial as _partial
 # ---------------------------------------------------------------------------
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _psum_interior(x, axis):
     return jax.lax.psum(x, axis)
 
@@ -248,7 +246,7 @@ def _psum_interior_bwd(axis, _, g):
 _psum_interior.defvjp(_psum_interior_fwd, _psum_interior_bwd)
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _psum_replicated(x, axis):
     return jax.lax.psum(x, axis)
 
@@ -407,9 +405,15 @@ def _dispatch_segment_max(data, seg_ids, num_segments, indices_are_sorted, neutr
         if out is not None:
             out = jnp.where(out <= -1e30, neutral, out)
             return out[:, 0] if squeeze else out
-    return jax.ops.segment_max(
+    out = jax.ops.segment_max(
         data, seg_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
+    # Contract parity with the kernel path above: empty segments yield the
+    # caller's `neutral`, not the XLA identity (-inf) — otherwise the same
+    # program silently splits behavior on which backend it dispatched to.
+    if jnp.issubdtype(out.dtype, jnp.floating):
+        out = jnp.where(out <= -1e30, jnp.asarray(neutral, out.dtype), out)
+    return out
 
 
 def segment_softmax(

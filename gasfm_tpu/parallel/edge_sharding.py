@@ -47,7 +47,7 @@ DATA_AXIS = "data"
 EDGE_AXIS = "edge"
 
 # ViewGraph fields whose leading dimension is the edge capacity.
-_EDGE_FIELDS = {"uv", "cam_idx", "pt_idx", "edge_mask", "pt_order", "pt_window"}
+_EDGE_FIELDS = {"uv", "cam_idx", "pt_idx", "edge_mask", "pt_window"}
 _SCALAR_FIELDS = {"m_true", "n_true", "e_true"}
 
 

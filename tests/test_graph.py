@@ -85,10 +85,14 @@ class TestBuild:
         assert (np.asarray(graph.pts_per_cam)[m:] == 0).all()
         assert (np.asarray(graph.cam_per_pts)[n:] == 0).all()
 
-    def test_pt_order_sorts_points(self):
+    def test_blocked_layout_point_major(self):
+        # The blocked layout itself keeps valid edges point-major within
+        # each window run (pt_order, its sortedness witness, was removed:
+        # no runtime consumer, and per-shard slices of a global permutation
+        # would be meaningless under edge sharding).
         _, graph = make_graph(seed=3)
-        sorted_pt = np.asarray(graph.pt_idx)[np.asarray(graph.pt_order)]
-        assert (np.diff(sorted_pt) >= 0).all()
+        pt = np.asarray(graph.pt_idx)[np.asarray(graph.edge_mask)]
+        assert (np.diff(pt) >= 0).all()
 
     def test_bucket_size(self):
         assert bucket_size(1, 8) == 8

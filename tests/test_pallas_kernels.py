@@ -98,6 +98,33 @@ class TestSegmentMax:
         np.testing.assert_allclose(out[has_edges], ref[has_edges], atol=1e-5)
         assert (out[~has_edges] == -1e30).all()
 
+    def test_neutral_contract_backend_independent(self):
+        """ops.segment.segment_max documents 'empty segments yield neutral'.
+        The XLA fallback used to return jax.ops.segment_max's -inf identity
+        instead, silently splitting behavior on which backend dispatched
+        (review round 5). Both dispatch paths must honor `neutral`."""
+        from gasfm_tpu.ops import segment as seg
+
+        data, ids = make_case(S=450, d=4, seed=6)
+        S = 450
+        outs = {}
+        prev = seg.get_kernel_mode()
+        for mode in ("interpret", "off"):
+            seg.set_kernel_mode(mode)
+            try:
+                outs[mode] = np.asarray(
+                    seg.segment_max(data, ids, S, neutral=0.0)
+                )
+            finally:
+                seg.set_kernel_mode(prev)
+        has_edges = (
+            np.asarray(jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=S)) > 0
+        )
+        for mode, out in outs.items():
+            assert np.isfinite(out).all(), mode
+            assert (out[~has_edges] == 0.0).all(), mode
+        np.testing.assert_allclose(outs["interpret"], outs["off"], atol=1e-5)
+
 
 # ---------------------------------------------------------------------------
 # Windowed kernels (blocked point-major layout)

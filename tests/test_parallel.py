@@ -859,6 +859,69 @@ class TestTableSharding:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
             )
 
+    def test_single_direction_fused_exchange_matches_single_device(self, monkeypatch):
+        """The SINGLE-direction fused attention (gatv2_attend ->
+        fused_attend_h) under table sharding: until round 5 its cache key
+        dropped is_table_sharded(), so the boundary-exchange branch in
+        make_fused_attend was unreachable and the windowed direction always
+        paid the full-table combine. With GASFM_DUAL=0 forcing the
+        two-single-calls fallback, the full model's sharded loss and every
+        gradient leaf must still match single-device execution — now through
+        the exchange branch."""
+        from jax.sharding import PartitionSpec as P
+
+        from gasfm_tpu.ops import segment as seg
+        from gasfm_tpu.ops.segment import edge_partitioned, table_sharded
+        from gasfm_tpu.parallel import (
+            EDGE_AXIS,
+            compute_owned_points,
+            make_mesh,
+            scene_graph_specs,
+        )
+
+        monkeypatch.setenv("GASFM_DUAL", "0")
+        conf, model, scene = self._conf_model_scene()
+        loss_func = get_loss_func(conf)
+        seg.set_kernel_mode("interpret")
+        try:
+            params = model.init(jax.random.PRNGKey(0), scene.graph)
+
+            def loss_fn(p, sc):
+                return loss_func(model.apply(p, sc.graph), sc)
+
+            l_ref, g_ref = jax.value_and_grad(loss_fn)(params, scene)
+
+            mesh = make_mesh(n_edge=4, n_data=1)
+
+            def per_device(p, sc):
+                sc = jax.tree_util.tree_map(lambda x: x[0], sc)
+                with edge_partitioned(EDGE_AXIS), table_sharded(
+                    compute_owned_points(sc.graph, EDGE_AXIS)
+                ):
+                    loss, grads = jax.value_and_grad(loss_fn)(p, sc)
+                return loss, jax.lax.psum(grads, EDGE_AXIS)
+
+            sharded = jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P(), scene_graph_specs(batched=True)),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            l_sh, g_sh = jax.jit(sharded)(params, stack_scene_graphs([scene]))
+        finally:
+            seg.set_kernel_mode("auto")
+
+        assert float(l_sh) == pytest.approx(float(l_ref), rel=1e-5)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves(g_sh),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-2)
+            np.testing.assert_allclose(
+                b, a, atol=2e-5 * scale, rtol=1e-3,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
+
     def test_production_forward_combines_tables(self):
         from gasfm_tpu.ops import segment as seg
         from gasfm_tpu.parallel import make_mesh, make_sharded_forward
