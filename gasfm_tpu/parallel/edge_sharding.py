@@ -398,19 +398,18 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
     more valid samples than data-axis slots, reference train.py:61-88).
 
     step(params, batched_scene, weights) ->
-        (loss_sum, repro_sum, grads, pred_batched)
+        (loss_sum, grads, pred_batched)
 
     ``pred_batched`` holds every slot's padded predictions stacked on a
     leading data axis (for the host-side metric paths: outlier-injected
-    scoring against clean observations, backproj metrics).
+    scoring against clean observations, backproj metrics). No on-device
+    metrics here: this step serves exactly the host-metric branches of
+    epoch_train (its one caller, TrainingSession.loss_and_grads), which
+    recompute metrics from ``pred`` — baking core_errors_device's gathers
+    and psums into the compiled step was wasted device compute + ICI
+    traffic (review round 5).
     """
-    from gasfm_tpu.eval.metrics import core_errors_device
-
     loss_func = get_loss_func(conf)
-    # Same explicit-heads gate as make_sharded_fused_step: our_repro reads
-    # pred["Ps_norm"]/["pts3D"], absent for depth-head-only configs.
-    explicit = (conf.get_bool("model.view_head.enabled", default=False)
-                and conf.get_bool("model.scenepoint_head.enabled", default=False))
 
     def per_device(params, scene, weight):
         scene = jax.tree_util.tree_map(lambda x: x[0], scene)
@@ -421,11 +420,8 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
                 return loss_func(pred, scene) * w, pred
 
             (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            repro = (core_errors_device(pred, scene)["our_repro"] * w
-                     if explicit else jnp.zeros_like(loss))
             pred = _combine_table_outputs(conf, pred)
         loss = jax.lax.psum(loss, DATA_AXIS)
-        repro = jax.lax.psum(repro, DATA_AXIS)
         grads = jax.lax.psum(grads, (EDGE_AXIS, DATA_AXIS))
         # Expose each slot's padded predictions: lift a leading singleton
         # axis so the P(DATA_AXIS) out-spec stacks slots into a leading
@@ -433,7 +429,7 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
         # replicated over the edge axis; the depth head's per-edge output
         # stays edge-sharded and reassembles to the full (n_data, E).
         pred = jax.tree_util.tree_map(lambda x: x[None], pred)
-        return loss, repro, grads, pred
+        return loss, grads, pred
 
     has_depths = conf.get_bool("model.depth_head.enabled", default=False)
     pred_specs = {}
@@ -455,7 +451,7 @@ def make_sharded_grad_step(conf, model, mesh: Mesh):
                                   chunk=chunk),
                 P(DATA_AXIS),
             ),
-            out_specs=(P(), P(), P(), pred_specs),
+            out_specs=(P(), P(), pred_specs),
             check_vma=False,
         )
         return jax.jit(sharded)

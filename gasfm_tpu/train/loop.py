@@ -265,7 +265,7 @@ class TrainingSession:
         from gasfm_tpu.parallel import pad_scene_group
 
         batched, weights = pad_scene_group([scene], self.n_data)
-        loss, _, grads, pred_b = self._sharded_grad_fn(params, batched, jnp.asarray(weights))
+        loss, grads, pred_b = self._sharded_grad_fn(params, batched, jnp.asarray(weights))
         pred = jax.tree_util.tree_map(lambda x: x[0], pred_b)
         return loss, pred, grads
 
@@ -505,7 +505,11 @@ def epoch_train(
                 repro_parts.append(
                     _host_async(session.core_errors(pred, scene_graph)["our_repro"])
                 )
-            else:
+            elif explicit or calc_backproj:
+                # Guarded: with neither per-step metric configured (e.g.
+                # depth-head-only training) compute_core_errors would return
+                # {} — skip the full padded-prediction host pull + dense
+                # densification it would otherwise pay every step.
                 pred_np = unpad_predictions(pred, curr_data, graph=scene_graph.graph)
                 core = compute_core_errors(curr_data, pred_np, conf)
                 if explicit:
@@ -690,6 +694,7 @@ def epoch_evaluation(
                             sg.graph.edge_mask, chunk=sg.graph.chunk,
                         )
                 padded.append((curr_data, sg))
+            done = 0  # scenes whose REAL rows are already appended
             try:
                 begin = time()
                 preds = session.forward_group(params, [sg for _, sg in padded])
@@ -697,12 +702,17 @@ def epoch_evaluation(
                 pred_time = (time() - begin) / len(padded)
                 for (curr_data, sg), pred in zip(padded, preds):
                     errors_list.append(_post(curr_data, sg, pred, pred_time))
+                    done += 1
             except Exception as e:  # noqa: BLE001 - OOM-tolerance parity
                 if not _is_oom_error(e):
                     raise
                 if crash_on_scene_exhausting_memory:
                     raise
-                for curr_data, _ in padded:
+                # Dummy rows only for scenes WITHOUT a real row yet (an OOM
+                # in _post mid-group must not duplicate earlier scenes'
+                # 'Scene' index — that would skew the Mean row and break
+                # .loc[[scene]].item() lookups).
+                for curr_data, _ in padded[done:]:
                     print(f"Ran out of memory when evaluating on {curr_data.scene_name}.")
                     errors_list.append(_dummy(curr_data))
 
@@ -825,10 +835,27 @@ def train(
                 validation_metric = "our_repro"
             elif depth_head:
                 validation_metric = "repro_backproj_rnd_gt_2view"
+        if validation_metric == "repro_backproj_rnd_gt_2view" and not conf.get_bool(
+            "eval.calc_reprojerr_with_gtposes_for_depth_pred", default=False
+        ):
+            # Fail fast: compute_errors only emits this column when the flag
+            # is on (eval/metrics.py skips the depth-stat block instead of
+            # crashing), so the first validation would otherwise die with a
+            # bare KeyError deep in aggregate_val_metric. Same requirement
+            # as the reference (its conf.get_bool has no default, and its
+            # depth confs ship the flag true — evaluation.py:236,277).
+            raise ValueError(
+                "train.validation_metric 'repro_backproj_rnd_gt_2view' requires "
+                "eval.calc_reprojerr_with_gtposes_for_depth_pred = true (or set "
+                "train.validation_metric explicitly)."
+            )
     else:
         validation_metric = None
 
     assert (phase == Phases.TRAINING) == (val_loader is not None)
+    # test_loader is asserted but unused INSIDE train(), exactly like the
+    # reference (train.py:372,429 — the test set is evaluated separately by
+    # eval_model); kept for signature parity.
     assert (phase == Phases.TRAINING) == (test_loader is not None)
 
     tb_writer = get_tb_writer(conf)
@@ -873,18 +900,23 @@ def train(
                 crash_on_scene_exhausting_memory=True,
                 rng=rng,
             )
-            tb_log_eval_step(conf, tb_writer, epoch, validation_errors, phase=Phases.VALIDATION,
-                             additional_identifiers=additional_identifiers + outlier_ids,
-                             include_post_ba_metrics=ba_during_training)
-            if tb_log_val_per_scene:
-                for sc in conf.get_list("dataset.validation_set", default=[]):
-                    try:
-                        tb_log_eval_step(conf, tb_writer, epoch, validation_errors,
-                                         phase=Phases.VALIDATION,
-                                         additional_identifiers=additional_identifiers + outlier_ids,
-                                         scene=sc, include_post_ba_metrics=ba_during_training)
-                    except KeyError:
-                        pass
+            def _log_eval(errors, phase, ids, per_scene_key):
+                """Scene-avg TB row + optional per-scene rows. Missing
+                metric columns/scene rows are skipped INSIDE
+                tb_log_eval_step (its per-metric try/except KeyError), so no
+                guard is needed here."""
+                tb_log_eval_step(conf, tb_writer, epoch, errors, phase=phase,
+                                 additional_identifiers=ids,
+                                 include_post_ba_metrics=ba_during_training)
+                if per_scene_key is not None:
+                    for sc in conf.get_list(per_scene_key, default=[]):
+                        tb_log_eval_step(conf, tb_writer, epoch, errors, phase=phase,
+                                         additional_identifiers=ids, scene=sc,
+                                         include_post_ba_metrics=ba_during_training)
+
+            val_per_scene = "dataset.validation_set" if tb_log_val_per_scene else None
+            _log_eval(validation_errors, Phases.VALIDATION,
+                      additional_identifiers + outlier_ids, val_per_scene)
             if outlier_injection_rate is not None:
                 # Extra outlier-FREE validation (reference train.py:497-501).
                 validation_errors = epoch_evaluation(
@@ -895,18 +927,8 @@ def train(
                     log_memory_consumption=stdout_log_eval_memory,
                     crash_on_scene_exhausting_memory=True, rng=rng,
                 )
-                tb_log_eval_step(conf, tb_writer, epoch, validation_errors, phase=Phases.VALIDATION,
-                                 additional_identifiers=additional_identifiers,
-                                 include_post_ba_metrics=ba_during_training)
-                if tb_log_val_per_scene:
-                    for sc in conf.get_list("dataset.validation_set", default=[]):
-                        try:
-                            tb_log_eval_step(conf, tb_writer, epoch, validation_errors,
-                                             phase=Phases.VALIDATION,
-                                             additional_identifiers=additional_identifiers,
-                                             scene=sc, include_post_ba_metrics=ba_during_training)
-                        except KeyError:
-                            pass
+                _log_eval(validation_errors, Phases.VALIDATION,
+                          additional_identifiers, val_per_scene)
             if conf.get_bool("eval.eval_on_train_set", default=False):
                 # Train-set evaluation + per-scene rows + (with outlier
                 # injection) an extra outlier-free pass — the full reference
@@ -921,18 +943,8 @@ def train(
                         log_memory_consumption=stdout_log_eval_memory,
                         crash_on_scene_exhausting_memory=True, rng=rng,
                     )
-                    tb_log_eval_step(conf, tb_writer, epoch, te, phase=Phases.TRAINING,
-                                     additional_identifiers=ids,
-                                     include_post_ba_metrics=ba_during_training)
-                    if tb_log_train_per_scene:
-                        for sc in conf.get_list("dataset.train_set", default=[]):
-                            try:
-                                tb_log_eval_step(conf, tb_writer, epoch, te,
-                                                 phase=Phases.TRAINING,
-                                                 additional_identifiers=ids, scene=sc,
-                                                 include_post_ba_metrics=ba_during_training)
-                            except KeyError:
-                                pass
+                    _log_eval(te, Phases.TRAINING, ids,
+                              "dataset.train_set" if tb_log_train_per_scene else None)
 
                 _train_eval(outlier_injection_rate, additional_identifiers + outlier_ids)
                 if outlier_injection_rate is not None:
@@ -998,6 +1010,8 @@ def train(
     ckpt_keep = conf.get_int("checkpoint.keep", default=3)
     ckpt_resume = conf.get_bool("checkpoint.resume", default=False)
     start_epoch = 0
+    total_n_batches = 0
+    n_epochs_post_warmup = None if lr_warmup_n_steps > 0 else 0
     if ckpt_enabled:
         from gasfm_tpu.train.state import TrainState, restore_checkpoint, save_checkpoint
 
@@ -1008,18 +1022,26 @@ def train(
         if ckpt_resume:
             template = TrainState(
                 params=params, opt_state=opt_state,
-                step=jnp.zeros((2,), jnp.int32),  # [next_epoch, n_updates]
+                # [next_epoch, n_updates, total_n_batches,
+                #  n_epochs_post_warmup + 1 (0 encodes None)]. The batch and
+                # post-warmup counters MUST resume too: the view-increment
+                # curriculum derives curr_n_views from n_epochs_post_warmup
+                # and TB step indices derive from total_n_batches — fresh
+                # zeros would silently restart the curriculum at 2 views
+                # (and overwrite earlier TB rows) while the restored LR
+                # schedule continues at its post-curriculum position.
+                step=jnp.zeros((4,), jnp.int32),
             )
             restored = restore_checkpoint(ckpt_dir, template)
             if restored is not None:
                 params = restored.params
                 opt_state = restored.opt_state
-                start_epoch = int(np.asarray(restored.step)[0])
-                n_updates = int(np.asarray(restored.step)[1])
+                st = np.asarray(restored.step)
+                start_epoch = int(st[0])
+                n_updates = int(st[1])
+                total_n_batches = int(st[2])
+                n_epochs_post_warmup = int(st[3]) - 1 if int(st[3]) > 0 else None
                 print(f"[checkpoint] resumed at epoch {start_epoch} ({n_updates} updates)")
-
-    total_n_batches = 0
-    n_epochs_post_warmup = None if lr_warmup_n_steps > 0 else 0
     final_params = None
     curr_train_loader = train_loader
     # jax.profiler trace window (observability.profile_start_epoch/
@@ -1073,7 +1095,10 @@ def train(
                 ckpt_dir,
                 TrainState(
                     params=params, opt_state=opt_state,
-                    step=jnp.asarray([epoch + 1, n_updates], jnp.int32),
+                    step=jnp.asarray([
+                        epoch + 1, n_updates, total_n_batches,
+                        0 if n_epochs_post_warmup is None else n_epochs_post_warmup + 1,
+                    ], jnp.int32),
                 ),
                 step=epoch + 1,
                 keep=ckpt_keep,

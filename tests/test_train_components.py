@@ -175,7 +175,65 @@ class TestTrainLoopResume:
         with redirect_stdout(buf):
             trained2, _ = train(conf, loader, model, params, Phases.OPTIMIZATION)
         assert "resumed at epoch 4" in buf.getvalue()
+
+        # The resumed run's checkpoints carry ALL FOUR counters (review
+        # round 5): [next_epoch, n_updates, total_n_batches,
+        # n_epochs_post_warmup+1] — resume used to zero total_n_batches and
+        # the post-warmup epoch count, silently restarting the
+        # view-increment curriculum and TB step indices while the restored
+        # LR schedule continued at its old position.
+        from gasfm_tpu.train.state import TrainState, restore_checkpoint
+
+        template = TrainState(
+            params=params,
+            opt_state=create_train_state(conf, params)[0].opt_state,
+            step=jnp.zeros((4,), jnp.int32),
+        )
+        final = restore_checkpoint(ckpt_dir, template)
+        assert final is not None
+        st = np.asarray(final.step)
+        assert st.shape == (4,)
+        assert st[0] == 6  # next epoch
+        assert st[2] == 6  # one batch per epoch -> total_n_batches resumed
+        # lr_warmup_n_steps = 50 in this conf; 6 batches < 50 -> still in
+        # warmup, n_epochs_post_warmup is None, encoded as 0.
+        assert st[3] == 0
         obs.reset_tb_writer()
+
+
+class TestDepthOnlyValidationMetricFailFast:
+    def test_missing_backproj_flag_raises_at_train_start(self, tmp_path, monkeypatch):
+        """Depth-head-only TRAINING defaults validation_metric to
+        'repro_backproj_rnd_gt_2view', a column compute_errors only emits
+        when eval.calc_reprojerr_with_gtposes_for_depth_pred is on — the
+        first validation used to die with a bare KeyError deep in
+        aggregate_val_metric (review round 5). train() must fail fast with
+        a descriptive error instead."""
+        monkeypatch.setenv("GASFM_RESULTS_PATH", str(tmp_path))
+        import os
+
+        import pytest as _pytest
+
+        from gasfm_tpu.config import load_config
+        from gasfm_tpu.data.dataset import SceneLoader, ScenesDataSet
+        from gasfm_tpu.data.loaders import create_scene_data
+        from gasfm_tpu.models import get_model
+        from gasfm_tpu.train.loop import train
+        from gasfm_tpu.utils.phases import Phases
+
+        conf = load_config(os.path.join("synth", "optim_synth_depth_gasfm.conf"))
+        conf.put("exp_dir", "depth_failfast_test")
+        conf.put("train.n_epochs", 1)
+        conf.put("eval.calc_reprojerr_with_gtposes_for_depth_pred", False)
+
+        data = create_scene_data(conf)
+        ds = ScenesDataSet([data], return_all=True)
+        loader = SceneLoader(ds, batch_size=1, prefetch=0)
+        model = get_model(conf)
+        params = model.init(jax.random.PRNGKey(0), data.to_scene_graph().graph)
+        with _pytest.raises(ValueError, match="calc_reprojerr_with_gtposes_for_depth_pred"):
+            train(conf, loader, model, params, Phases.TRAINING,
+                  train_loader_for_eval=loader, val_loader=loader, test_loader=loader)
 
 
 class TestScheduleAdvanceOnSkippedBatch:
