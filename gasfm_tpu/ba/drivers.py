@@ -82,6 +82,9 @@ def run_euclidean_ba(Xs, visible_xs, Rs, ts, Ks, point_indices, print_out=True, 
             f"[BA euclidean] cost {st_a[0]:.6e} -> {st_a[1]:.6e} in {int(st_a[2])} iters, "
             f"converged={bool(converged)}"
         )
+    # Unconditional like the reference (ceres_utils.py:187-189 prints these
+    # regardless of print_out): an all-zero delta usually means a degenerate
+    # problem worth surfacing even in quiet mode.
     if not cd_a.any():
         print("Warning no change to Ps")
     if not pd_a.any():
@@ -184,12 +187,20 @@ def euc_ba(
             results["repro_middle"] = float(
                 np.nanmean(reprojection_error_with_points(new_Ps, new_Xs, xs, visible))
             )
+        if Ns is None:
+            # Same fallback as the triangulation branch above (the reference
+            # omits it here and would crash on euc_ba's plainest signature,
+            # ba_functions.py:50; proj_ba has it in both branches).
+            Ns = np.linalg.inv(Ks)
+        prev_Xs = new_Xs
         norm_P, norm_x = normalize_points_cams(new_Ps.copy(), xs, Ns)
         new_Xs = dlt_triangulation(norm_P, norm_x, visible)[:, :3]
-        # NaN-guard: points that fail triangulation keep their previous values
+        # NaN-guard: points that fail re-triangulation keep their previous
+        # (first-round-refined) coordinates instead of poisoning the second
+        # solve. (The reference has no guard and lets NaNs flow.)
         bad = ~np.isfinite(new_Xs).all(axis=1)
         if bad.any():
-            new_Xs[bad] = 0.0
+            new_Xs[bad] = prev_Xs[bad, :3]
         if return_repro:
             results["repro_middle_triangulated"] = float(
                 np.nanmean(reprojection_error_with_points(new_Ps, new_Xs, xs, visible))

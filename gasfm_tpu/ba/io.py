@@ -24,10 +24,11 @@ def _load_mat(path: str):
 
 
 def _m_to_xs(M: np.ndarray) -> np.ndarray:
-    """(2m, n) stacked measurement matrix -> (m, n, 2) observations."""
-    M = np.asarray(M)
-    m2, n = M.shape
-    return M.reshape([m2 // 2, 2, n]).transpose([0, 2, 1])
+    """(2m, n) stacked measurement matrix -> (m, n, 2) observations
+    (delegates to the one implementation, geometry/np_geo.M_to_xs)."""
+    from gasfm_tpu.geometry.np_geo import M_to_xs
+
+    return M_to_xs(np.asarray(M, dtype=np.float64))
 
 
 def read_mat_files(path: str):

@@ -422,14 +422,24 @@ struct Solver {
     const size_t sdim = (size_t)nc * C;
 
     std::vector<double> S(sdim * sdim, 0.0);       // Schur complement
-    std::vector<double> rhs(sdim, 0.0);            // -g_c + W C^-1 g_p
     std::vector<double> g_c(sdim, 0.0);
     std::vector<double> Hc_diag(sdim, 0.0);        // for damping report
 
     // Per-point accumulation (sequential over points; obs of one point are
     // contiguous in obs_order). Parallel over points.
 #ifdef _OPENMP
-    const int n_threads = omp_get_max_threads();
+    int n_threads = omp_get_max_threads();
+    {
+      // Bound the thread-local Schur scratch: S_t costs sdim^2 doubles PER
+      // THREAD, and a projective (C=12) few-hundred-camera scene on a
+      // many-core host would otherwise allocate tens of GB per LM attempt.
+      // Cap the accumulation team so the scratch stays under ~1 GB total
+      // (the dense Schur solve itself is O(sdim^2) memory regardless).
+      const double budget_bytes = 1.0e9;
+      const double per_thread = (double)sdim * (double)sdim * 8.0;
+      if (per_thread * n_threads > budget_bytes)
+        n_threads = std::max(1, (int)(budget_bytes / per_thread));
+    }
 #else
     const int n_threads = 1;
 #endif
@@ -443,7 +453,8 @@ struct Solver {
     bool ok = true;
 
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 64)
+// num_threads must match the S_t scratch count: tid indexes S_t.
+#pragma omp parallel for schedule(dynamic, 64) num_threads(n_threads)
 #endif
     for (int j = 0; j < n_pts; ++j) {
 #ifdef _OPENMP

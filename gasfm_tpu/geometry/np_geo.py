@@ -109,7 +109,12 @@ def normalize_points_cams(Ps: np.ndarray, xs: np.ndarray, Ns: np.ndarray) -> Tup
 def batch_get_normalization_matrices(xs: np.ndarray) -> np.ndarray:
     """Per-view zero-mean/unit-std normalization matrices.
 
-    Parity: reference code/utils/geo_utils.py:490-521.
+    Parity: reference code/utils/geo_utils.py:490-521. NOTE (deliberate):
+    like the reference's numpy path, the mean/std run over ALL n columns
+    INCLUDING the (0, 0) placeholders of unobserved points — on sparse
+    views this biases the statistics toward the origin, but masking here
+    would diverge from the reference's DLT conditioning (its
+    get_normalization_matrix only dedups in the torch path).
     """
     m = xs.shape[0]
     Ns = np.zeros((m, 3, 3))

@@ -62,6 +62,20 @@ class TestEuclideanBA:
         assert res["repro_after"] <= res["repro_before"] + 1e-6
         assert res["repro_after"] < 1.0  # sub-pixel under 0.5px noise
 
+    def test_ba_repeat_with_default_ns(self):
+        """euc_ba's plainest signature (Ns omitted, repeat=True — the
+        defaults) used to crash: the repeat branch passed Ns=None straight
+        into normalize_points_cams (review round 5; the reference shares
+        the omission, ba_functions.py:50). The inv(K) fallback must apply
+        in BOTH branches, as it already did in proj_ba."""
+        data, xs, Ks, Rs, ts, X = build_problem(seed=2, noise_px=0.5)
+        rng = np.random.default_rng(1)
+        ts_pert = ts + 0.01 * rng.normal(size=ts.shape)
+        res = euc_ba(xs, Rs=Rs, ts=ts_pert, Ks=Ks, Xs_our=X, print_out=False)
+        assert res["converged1"] and res["converged2"]
+        assert np.isfinite(res["repro_after"])
+        assert res["repro_after"] <= res["repro_before"] + 1e-6
+
     def test_ba_no_change_on_exact_solution(self):
         data, xs, Ks, Rs, ts, X = build_problem(seed=3)
         res = euc_ba(xs, Rs=Rs, ts=ts, Ks=Ks, Xs_our=X, Ns=data.Ns.astype(np.float64),
