@@ -78,14 +78,24 @@ def prefetch_iter(make_source, depth: int) -> Iterator:
     finally:
         # Normal exhaustion AND early abandonment (GeneratorExit / exception
         # in the consumer) both land here: release the worker, drain
-        # anything queued, and join.
+        # anything queued, and join. The join is BOUNDED: stop only
+        # unblocks a producer stuck in _put — one stuck inside
+        # make_source() itself (a slow scene, or a deadlocked fork worker,
+        # see SceneLoader._get_pool) must not hold up propagation of the
+        # consumer's original exception forever. The thread is a daemon, so
+        # abandoning it after the timeout is safe at interpreter exit.
         stop.set()
         while True:
             try:
                 q.get_nowait()
             except queue.Empty:
                 break
-        t.join()
+        t.join(timeout=30.0)
+        if t.is_alive():
+            print(
+                "[prefetch_iter] producer thread did not stop within 30s "
+                "(stuck in the source iterator); abandoning it as a daemon."
+            )
     if errs:
         raise errs[0]
 

@@ -142,7 +142,13 @@ class OutlierInjector:
             return None
         while self.n_outliers < self.target_n_outliers:
             needed = self.target_n_outliers - self.n_outliers
-            if needed > self.n_free_inliers:
+            # >= not >: needed == n_free_inliers would reach _add_margin_rate
+            # with rate == 1.0, whose `0 < rate < margin < 1` assert crashes
+            # (inherited from the reference, dataset_utils.py:278-285) —
+            # taking EVERY free inlier leaves no margin pool either way, so
+            # the equality case is just as infeasible as the > case and must
+            # take the retry/None path this module's contract promises.
+            if needed >= self.n_free_inliers:
                 # Not enough free observations; retry from scratch.
                 self.fixed_in, self.fixed_out = self._init_fixed()
                 self.free_in, self.free_out = self._init_free()

@@ -82,6 +82,14 @@ def get_subset(data: SceneData, subset_size: int, verbose: bool = False) -> Scen
     curriculum. Parity: reference SceneData.get_subset (SceneData.py:529-584)."""
     valid_pts = get_M_valid_points(data.M).copy()
     n_cams = valid_pts.shape[0]
+    # Explicit contract: beyond n_cams the greedy argmax over an all-False
+    # matrix would silently return index 0 repeatedly, building a sub-scene
+    # with duplicated views. (The in-tree caller guards with
+    # curr_n_views >= total_n_views before calling.)
+    assert subset_size <= n_cams, (
+        f"get_subset: subset_size {subset_size} exceeds the scene's "
+        f"{n_cams} cameras"
+    )
 
     first_idx = int(valid_pts.sum(axis=1).argmax())
     curr_pts = valid_pts[first_idx].copy()
