@@ -99,6 +99,30 @@ class TestOutlierInjection:
         observed = inlier_mask.any(axis=0)
         assert (inlier_mask.sum(axis=0)[observed] >= MIN_N_VIEWS_PER_POINT).all()
 
+    def test_equality_infeasible_takes_retry_path(self):
+        """needed == n_free_inliers must take the retry/None path, not fall
+        into _add_margin_rate(1.0) whose `0 < rate < margin < 1` assert
+        used to kill the epoch (review round 5; the assert is inherited
+        from the reference's add_margin_to_outlier_rate)."""
+        from gasfm_tpu.data.outliers import OutlierInjector
+
+        m, n = 10, 30
+        rows = np.repeat(np.arange(m), n).astype(np.int64)
+        cols = np.tile(np.arange(n), m).astype(np.int64)
+        values = np.random.default_rng(0).normal(size=(m * n, 2)) * 50 + 500
+        inj = OutlierInjector(rows, cols, values, m, n, 0.3,
+                              rng=np.random.default_rng(0))
+        needed = inj.target_n_outliers - inj.n_outliers
+        free_idx = np.nonzero(inj.free_in)[0]
+        to_fix = free_idx[: len(free_idx) - needed]
+        inj.free_in[to_fix] = False
+        inj.fixed_in[to_fix] = True
+        inj._verify_partitions()
+        assert inj.n_free_inliers == needed
+        # n_tries=1: the equality case re-inits and recurses with 0 tries
+        # left -> graceful None (pre-fix: AssertionError).
+        assert inj.select_outliers(n_tries=1) is None
+
     def test_outliers_are_perturbed_values(self):
         data = generate_synthetic_scene(n_views=8, n_points=100, visibility=0.9, seed=7)
         injected = inject_outliers(data, 0.15, rng=np.random.default_rng(1))
